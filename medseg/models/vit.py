@@ -1,0 +1,174 @@
+"""3D Vision Transformer encoder, TPU-native (flax.linen, NDHWC tokens).
+
+Behavior contract: MONAI 0.6.0 ``monai.networks.nets.vit.ViT`` as configured
+by the reference (`/root/reference/unetr.py:78-89`):
+
+- ``pos_embed="perceptron"`` patch embedding: non-overlapping 16^3 patches,
+  flattened ``(x, y, z, c)`` (channel fastest), then a single Linear to
+  ``hidden_size``; plus a learnable positional embedding (trunc-normal 0.02
+  init). No cls token (``classification=False``).
+- 12 pre-LN transformer blocks: ``x += MHSA(LN(x)); x += MLP(LN(x))`` with
+  12 heads, qkv projection without bias, output projection with bias,
+  MLP ``hidden -> mlp_dim -> hidden`` with exact (erf) GELU.
+- Returns ``(LayerNorm(final_hidden), [hidden_state_i for every block])`` —
+  the UNETR decoder taps hidden states 3/6/9
+  (`/root/reference/unetr.py:187-201`).
+
+TPU notes: attention over <=512 tokens (crop 128^3 / patch 16^3) is tiny, so
+we lean on XLA's fused attention via ``jax.nn.dot_product_attention`` —
+matmuls land on the MXU; a Pallas flash-attention kernel would not pay for
+itself at this sequence length (it becomes interesting only for whole-volume
+no-sliding-window inference, see medseg/kernels).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+class PatchEmbed3D(nn.Module):
+    """Perceptron-style patch embedding for NDHWC volumes.
+
+    Token order is row-major over the patch grid (d, h, w); per-token features
+    are the patch voxels flattened channel-fastest — bit-compatible with the
+    reference's einops rearrange ``b c (h x) (w y) (d z) -> b (h w d) (x y z c)``
+    so torch checkpoints convert with a pure weight transpose.
+    """
+
+    hidden_size: int = 768
+    patch_size: int = 16
+    dropout_rate: float = 0.0
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        b, d, h, w, c = x.shape
+        p = self.patch_size
+        assert d % p == 0 and h % p == 0 and w % p == 0, (
+            f"volume {(d, h, w)} not divisible by patch size {p}"
+        )
+        gd, gh, gw = d // p, h // p, w // p
+        n = gd * gh * gw
+        # (B, gd, p, gh, p, gw, p, C) -> (B, gd, gh, gw, p, p, p, C) -> (B, N, p^3*C)
+        x = x.reshape(b, gd, p, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(b, n, p * p * p * c)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(x)
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, n, self.hidden_size),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """MONAI SABlock contract: fused qkv (no bias), out projection (bias)."""
+
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        b, n, _ = x.shape
+        head_dim = self.hidden_size // self.num_heads
+        qkv = nn.Dense(3 * self.hidden_size, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # XLA fuses this into an MXU-friendly attention; seq len <= 512.
+        y = jax.nn.dot_product_attention(q, k, v)
+        y = y.reshape(b, n, self.hidden_size)
+        y = nn.Dense(self.hidden_size, use_bias=True, dtype=self.dtype, name="out_proj")(y)
+        if self.dropout_rate > 0:
+            y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return y
+
+
+class Mlp(nn.Module):
+    mlp_dim: int
+    hidden_size: int
+    dropout_rate: float = 0.0
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU default = exact erf
+        if self.dropout_rate > 0:
+            y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(y)
+        if self.dropout_rate > 0:
+            y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return y
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer block (MONAI TransformerBlock contract)."""
+
+    hidden_size: int
+    mlp_dim: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + MultiHeadSelfAttention(
+            self.hidden_size, self.num_heads, self.dropout_rate, dtype=self.dtype, name="attn"
+        )(y, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(
+            self.mlp_dim, self.hidden_size, self.dropout_rate, dtype=self.dtype, name="mlp"
+        )(y, deterministic=deterministic)
+        return x
+
+
+class ViT3D(nn.Module):
+    """3D ViT encoder returning the final normed hidden plus all block outputs."""
+
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    patch_size: int = 16
+    dropout_rate: float = 0.0
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, deterministic: bool = True
+    ) -> tuple[jax.Array, list[jax.Array]]:
+        tokens = PatchEmbed3D(
+            hidden_size=self.hidden_size,
+            patch_size=self.patch_size,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="patch_embedding",
+        )(x, deterministic=deterministic)
+        hidden_states = []
+        for i in range(self.num_layers):
+            tokens = TransformerBlock(
+                self.hidden_size,
+                self.mlp_dim,
+                self.num_heads,
+                self.dropout_rate,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(tokens, deterministic=deterministic)
+            hidden_states.append(tokens)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tokens)
+        return out, hidden_states

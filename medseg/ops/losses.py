@@ -1,0 +1,112 @@
+"""Segmentation losses (pure jnp, jit-able).
+
+Behavior contract: MONAI 0.6.0 ``DiceCELoss`` at the two reference
+configurations:
+
+- CT / label-index path: ``DiceCELoss(to_onehot_y=True, softmax=True)``
+  (`/root/reference/unetr_segmentation_3d.py:404`).
+- BraTS / multi-label path: ``DiceCELoss(to_onehot_y=False, sigmoid=True)``
+  (`/root/reference/unetr_segmentation_3d.py:480`).
+
+MONAI 0.6 semantics reproduced exactly:
+
+- Soft Dice: not squared-denominator, ``smooth_nr = smooth_dr = 1e-5``,
+  background included, per-(sample, class) dice averaged over batch AND class
+  ("mean" reduction), spatial reduction over D/H/W only.
+- CE term: ``torch.nn.CrossEntropyLoss`` (mean over voxels). When the target
+  has the same channel count as the prediction, MONAI argmaxes the target to
+  class indices first — including in the sigmoid/multi-label config. That is
+  a quirk of the dependency, but it is the contract the reference trained
+  with, so it is reproduced here (flagged by ``_MULTILABEL_CE_ARGMAX``).
+- Total = dice + ce, equal weights.
+
+Layout: predictions/targets are channels-last ``(B, D, H, W, C)``; label-index
+targets are ``(B, D, H, W)`` or ``(B, D, H, W, 1)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SMOOTH_NR = 1e-5
+_SMOOTH_DR = 1e-5
+
+# MONAI 0.6 DiceCELoss.ce() argmaxes a same-channel-count target even when the
+# dice side is configured for (non-exclusive) multi-label sigmoid activation.
+_MULTILABEL_CE_ARGMAX = True
+
+
+def to_onehot(labels: jax.Array, num_classes: int) -> jax.Array:
+    """Label indices (B, D, H, W[, 1]) -> one-hot (B, D, H, W, C)."""
+    if labels.ndim == 5 and labels.shape[-1] == 1:
+        labels = labels[..., 0]
+    return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+
+
+def dice_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    *,
+    softmax: bool = False,
+    sigmoid: bool = False,
+    to_onehot_y: bool = False,
+    include_background: bool = True,
+    smooth_nr: float = _SMOOTH_NR,
+    smooth_dr: float = _SMOOTH_DR,
+) -> jax.Array:
+    """Soft Dice loss, MONAI 0.6 ``DiceLoss`` semantics, channels-last."""
+    n_classes = logits.shape[-1]
+    probs = logits.astype(jnp.float32)
+    if softmax:
+        probs = jax.nn.softmax(probs, axis=-1)
+    if sigmoid:
+        probs = jax.nn.sigmoid(probs)
+    if to_onehot_y:
+        target = to_onehot(target, n_classes)
+    target = target.astype(jnp.float32)
+    if not include_background:
+        probs = probs[..., 1:]
+        target = target[..., 1:]
+    spatial = tuple(range(1, probs.ndim - 1))  # D, H, W
+    intersection = jnp.sum(target * probs, axis=spatial)
+    ground_o = jnp.sum(target, axis=spatial)
+    pred_o = jnp.sum(probs, axis=spatial)
+    f = 1.0 - (2.0 * intersection + smooth_nr) / (ground_o + pred_o + smooth_dr)
+    return jnp.mean(f)  # mean over batch and class
+
+
+def softmax_ce_with_label_indices(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """``torch.nn.CrossEntropyLoss`` over voxels: mean of -log softmax at label."""
+    if labels.ndim == logits.ndim and labels.shape[-1] == 1:
+        labels = labels[..., 0]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, labels.astype(jnp.int32)[..., None], axis=-1)
+    return -jnp.mean(picked)
+
+
+def dice_ce_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    *,
+    softmax: bool = False,
+    sigmoid: bool = False,
+    to_onehot_y: bool = False,
+) -> jax.Array:
+    """MONAI 0.6 ``DiceCELoss``: dice (as configured) + voxel CE, summed.
+
+    ``target`` is label indices (B, D, H, W[, 1]) when ``to_onehot_y`` else a
+    multi-channel float mask (B, D, H, W, C).
+    """
+    d = dice_loss(
+        logits, target, softmax=softmax, sigmoid=sigmoid, to_onehot_y=to_onehot_y
+    )
+    if to_onehot_y:
+        ce_target = target
+    elif target.shape[-1] == logits.shape[-1] and _MULTILABEL_CE_ARGMAX:
+        # MONAI 0.6 quirk: same-channel-count target is argmaxed for the CE term.
+        ce_target = jnp.argmax(target, axis=-1)
+    else:
+        ce_target = target[..., 0]
+    ce = softmax_ce_with_label_indices(logits, ce_target)
+    return d + ce

@@ -1,0 +1,171 @@
+"""Ranking-based self-supervised pretraining objectives, vectorized for TPU.
+
+Capability contract: `/root/reference/unetr_ranking_pretraining_3d.py:59-236`.
+The reference builds 576 (reference, similar, dissimilar) slice triplets per
+step with Python loops over ``itertools.product/permutations`` and evaluates
+576 (ranking) or 576x577 (contrastive) cosine similarities one pair at a time.
+
+TPU-native design: there are only ``P*G`` distinct slices per step
+(P=4 partitions x G=4 slice views = 16). We
+
+1. gather all 16 slices in one ``jnp.take`` per axis (device gather),
+2. compute ONE (16, 16, C) channelwise cosine-similarity matrix via a single
+   batched matmul on the MXU (`pairwise_channel_cosine`),
+3. index it with a precomputed static triplet table
+   (`triplet_index_table`) and reduce.
+
+This makes both losses one fused XLA graph instead of 576 tiny kernel
+launches — the 17x "Comp. vs Cont." gap in the paper's Table 1 is a software
+artifact the rebuild removes. Losses are *pure* (grad/optimizer handled by the
+caller), unlike the reference where ``BTLoss``/``ContrastiveLoss`` call
+``backward()`` + ``optimizer.step()`` internally
+(`unetr_ranking_pretraining_3d.py:213-215,232-234`).
+
+Slice-view layout per partition (order matters — it defines triplet indexing,
+matching `unetr_ranking_pretraining_3d.py:80-84`):
+``[vol1_aug1, vol1_aug2, vol2_aug1, vol2_aug2]``.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+COS_EPS = 1e-6  # torch.nn.CosineSimilarity(dim=-1, eps=1e-6), reference :467
+GROUP = 4  # 2 volumes x 2 augmentations
+
+
+def gather_partition_slices(
+    feats: jax.Array, slice_indices: jax.Array, axis: int
+) -> jax.Array:
+    """Gather per-partition slices from a batch of 4 feature volumes.
+
+    Args:
+      feats: (4, D, H, W, C) — [vol1_aug1, vol1_aug2, vol2_aug1, vol2_aug2].
+        (The reference splits its batch of 4 the same way at
+        `unetr_ranking_pretraining_3d.py:264` and slices NCDHW dims 2/3/4;
+        here we slice channels-last spatial axes 0/1/2.)
+      slice_indices: (P,) int — one slice index per partition (same offset in
+        every partition, sampled on host; see `sample_partition_indices`).
+      axis: spatial axis to slice: 0 (D), 1 (H), or 2 (W).
+
+    Returns:
+      (P, 4, C, S) — per partition, per view, channels x flattened spatial,
+      matching the reference's ``reshape(dims[1], -1)`` flattening.
+    """
+    if feats.ndim != 5 or feats.shape[0] != GROUP:
+        raise ValueError(f"expected (4, D, H, W, C) features, got {feats.shape}")
+    sl = jnp.take(feats, slice_indices, axis=axis + 1)  # (4, ..., P, ..., C)
+    # Move the partition axis to the front: (P, 4, spatial..., C)
+    sl = jnp.moveaxis(sl, axis + 1, 0)
+    p = sl.shape[0]
+    c = sl.shape[-1]
+    sl = sl.reshape(p, GROUP, -1, c)  # (P, 4, S, C)
+    return jnp.swapaxes(sl, -1, -2)  # (P, 4, C, S)
+
+
+def sample_partition_indices(
+    rng: np.random.Generator, dim_size: int, num_partitions: int
+) -> np.ndarray:
+    """Reference sampling rule (`unetr_ranking_pretraining_3d.py:73-76`):
+    one random offset shared by all partitions of size ``dim_size // P``."""
+    partition_size = dim_size // num_partitions
+    init_idx = int(rng.integers(0, partition_size))
+    return np.asarray(
+        [init_idx + k * partition_size for k in range(num_partitions)], dtype=np.int32
+    )
+
+
+@lru_cache(maxsize=None)
+def triplet_index_table(num_partitions: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static (ref, sim, dissim) flat-slice indices, reference enumeration order.
+
+    Flat index = partition * 4 + view. For each partition: all ordered pairs of
+    its 4 views (12 perms) crossed with every view of every OTHER partition
+    (`unetr_ranking_pretraining_3d.py:119-133`) -> P * 12 * (P-1)*4 triplets
+    (576 at P=4).
+    """
+    refs, sims, dissims = [], [], []
+    for p in range(num_partitions):
+        own = [p * GROUP + g for g in range(GROUP)]
+        others = [
+            q * GROUP + g
+            for q in range(num_partitions)
+            if q != p
+            for g in range(GROUP)
+        ]
+        for (r, s), d in itertools.product(itertools.permutations(own, 2), others):
+            refs.append(r)
+            sims.append(s)
+            dissims.append(d)
+    return (
+        np.asarray(refs, dtype=np.int32),
+        np.asarray(sims, dtype=np.int32),
+        np.asarray(dissims, dtype=np.int32),
+    )
+
+
+def pairwise_channel_cosine(slices: jax.Array) -> jax.Array:
+    """All-pairs channelwise cosine similarity in one MXU matmul.
+
+    Args:
+      slices: (P, 4, C, S) from `gather_partition_slices`.
+    Returns:
+      (P*4, P*4, C): ``cos[a, b, c] = <x_a[c], x_b[c]> / (|x_a[c]| |x_b[c]|)``
+      with torch's eps clamp (denominator norms clamped to >= eps).
+    """
+    p, g, c, s = slices.shape
+    x = slices.reshape(p * g, c, s).astype(jnp.float32)
+    norms = jnp.maximum(jnp.linalg.norm(x, axis=-1), COS_EPS)  # torch eps clamp
+    xn = x / norms[..., None]
+    # (N, C, S) x (N, C, S) -> (N, N, C) : contract spatial, batch over channels
+    return jnp.einsum("acs,bcs->abc", xn, xn, preferred_element_type=jnp.float32)
+
+
+def bt_ranking_loss(
+    cos: jax.Array,
+    num_partitions: int,
+    temperature: float,
+) -> jax.Array:
+    """Bradley-Terry ranking loss over the cosine matrix.
+
+    Reference (`unetr_ranking_pretraining_3d.py:202-217`, paper Eq. 2):
+    ``sum_triplets mean_c log(1 + exp(-(cos(ref,sim) - cos(ref,dissim)) / tau))``.
+    Same value, computed as one gather + softplus reduction.
+    """
+    r, s, d = triplet_index_table(num_partitions)
+    comp = (cos[r, s] - cos[r, d]) / temperature  # (T, C)
+    return jnp.sum(jnp.mean(jax.nn.softplus(-comp), axis=-1))
+
+
+def info_nce_loss(
+    cos: jax.Array,
+    num_partitions: int,
+    temperature: float,
+) -> jax.Array:
+    """Global contrastive (InfoNCE) baseline over the same triplet table.
+
+    Reference (`unetr_ranking_pretraining_3d.py:219-236`): for every (ref, sim)
+    entry of the triplet list, the denominator sums ``exp(cos(ref_i, dissim_j)/tau)``
+    over the ENTIRE dissimilar list j (576 entries, duplicates included) plus
+    the numerator. Since each slice k occurs a fixed number of times in the
+    dissimilar list (36 at P=4), the per-ref denominator collapses to
+    ``sum_k counts[k] * exp(cos[ref_i, k]/tau)`` — one weighted reduction over
+    the 16-slice cosine matrix instead of 576x576 pair evaluations.
+    """
+    r, s, d = triplet_index_table(num_partitions)
+    counts = jnp.asarray(
+        np.bincount(d, minlength=cos.shape[0]).astype(np.float32)
+    )  # occurrences of each slice in the dissimilar list
+    sim_logits = cos[r, s] / temperature  # (T, C)
+    numerator = jnp.exp(sim_logits)
+    # denom_by_ref[a, c] = sum_k counts[k] * exp(cos[a, k, c] / tau)
+    denom_by_ref = jnp.einsum(
+        "k,akc->ac", counts, jnp.exp(cos / temperature), preferred_element_type=jnp.float32
+    )
+    log_ratio = sim_logits - jnp.log(denom_by_ref[r] + numerator)
+    return jnp.sum(-jnp.mean(log_ratio, axis=-1))

@@ -1,0 +1,253 @@
+"""Sliding-window whole-volume inference as ONE compiled XLA program.
+
+Capability contract: MONAI 0.6.0 ``sliding_window_inference`` as called by the
+reference (`/root/reference/unetr_segmentation_3d.py:109,143` with
+``overlap=0.25`` default, ``sw_batch_size=4``, constant blending; ``:694-695``
+with ``overlap=0.8``); BASELINE.json config 4 additionally exercises
+``overlap=0.5`` with gaussian blending.
+
+Semantics reproduced:
+- pad every spatial dim up to the ROI size, symmetrically (half before);
+- scan interval per dim = ``int(roi * (1 - overlap))`` (= roi when the dim
+  equals roi), window starts at ``k * interval`` clipped to ``dim - roi`` so
+  the last window is flush with the border;
+- each window is weighted by an importance map (constant ones, or a gaussian
+  with ``sigma = sigma_scale * roi`` centered on the window), accumulated,
+  and normalized by the accumulated importance;
+- padding cropped off at the end.
+
+TPU-native design (the reference's MONAI implementation is a Python loop that
+launches one forward per window stack — the A100 baseline's weakness named in
+SURVEY.md §7):
+
+- window starts are STATIC per (volume shape, roi, overlap) — computed on
+  host, padded to a multiple of ``sw_batch``, and baked into a ``lax.scan``;
+- each scan step gathers ``sw_batch`` windows with vmapped
+  ``lax.dynamic_slice``, runs them through the jitted model as one batch
+  (MXU stays busy), and scatter-accumulates weighted logits with
+  ``lax.dynamic_update_slice`` — sequentially within the step so overlapping
+  windows never race;
+- the normalization count-map depends only on the static grid, so it is
+  precomputed once per grid on host and cached;
+- accumulation is fp32 even when the model computes in bf16;
+- optional shape bucketing (``bucket_multiple``) rounds padded dims up so a
+  whole dataset of heterogeneous volumes reuses a handful of compiled graphs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache, partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SlidingWindowSpec:
+    roi: tuple[int, int, int]
+    overlap: float = 0.25
+    sw_batch: int = 4
+    mode: str = "constant"  # "constant" | "gaussian"
+    sigma_scale: float = 0.125
+    bucket_multiple: int = 1  # round padded dims up to bound recompiles
+
+
+def _scan_interval(image_size: Sequence[int], roi: Sequence[int], overlap: float):
+    out = []
+    for dim, r in zip(image_size, roi):
+        if r == dim:
+            out.append(r)
+        else:
+            out.append(max(1, int(r * (1.0 - overlap))))
+    return tuple(out)
+
+
+def compute_window_starts(
+    image_size: Sequence[int], roi: Sequence[int], overlap: float
+) -> np.ndarray:
+    """Dense window-start grid, MONAI ``dense_patch_slices`` semantics.
+
+    Starts are ``k * interval`` clipped to ``dim - roi``; duplicate trailing
+    starts are removed (they only rescale the count map, output unchanged).
+    Returns (N, 3) int32.
+    """
+    intervals = _scan_interval(image_size, roi, overlap)
+    per_dim = []
+    for dim, r, step in zip(image_size, roi, intervals):
+        n = int(math.ceil((dim - r) / step)) + 1
+        starts = np.minimum(np.arange(n) * step, dim - r)
+        per_dim.append(np.unique(starts))
+    grid = np.stack(
+        np.meshgrid(*per_dim, indexing="ij"), axis=-1
+    ).reshape(-1, len(per_dim))
+    return grid.astype(np.int32)
+
+
+def constant_importance(roi: Sequence[int]) -> np.ndarray:
+    return np.ones(tuple(roi), dtype=np.float32)
+
+
+def gaussian_importance(roi: Sequence[int], sigma_scale: float = 0.125) -> np.ndarray:
+    """Separable gaussian window weight, peak-normalized to 1, zeros clamped
+    to the smallest positive value (MONAI ``compute_importance_map`` contract)."""
+    maps = []
+    for r in roi:
+        sigma = sigma_scale * r
+        center = (r - 1) / 2.0
+        x = np.arange(r, dtype=np.float64)
+        maps.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
+    w = maps[0][:, None, None] * maps[1][None, :, None] * maps[2][None, None, :]
+    w = w / w.max()
+    w = np.maximum(w, np.min(w[w > 0]))
+    return w.astype(np.float32)
+
+
+def _pad_amounts(shape: Sequence[int], roi: Sequence[int], multiple: int):
+    pads = []
+    for dim, r in zip(shape, roi):
+        target = max(dim, r)
+        if multiple > 1:
+            target = int(math.ceil(target / multiple) * multiple)
+        extra = target - dim
+        pads.append((extra // 2, extra - extra // 2))
+    return pads
+
+
+@lru_cache(maxsize=32)
+def _count_map_cached(padded_shape, roi, overlap, mode, sigma_scale) -> np.ndarray:
+    starts = compute_window_starts(padded_shape, roi, overlap)
+    imp = (
+        constant_importance(roi)
+        if mode == "constant"
+        else gaussian_importance(roi, sigma_scale)
+    )
+    count = np.zeros(padded_shape, dtype=np.float32)
+    for s in starts:
+        count[
+            s[0] : s[0] + roi[0], s[1] : s[1] + roi[1], s[2] : s[2] + roi[2]
+        ] += imp
+    return count
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "roi", "n_classes", "sw_batch"))
+def _swi_device(
+    params,
+    volume: jax.Array,  # (D, H, W, C) padded
+    starts: jax.Array,  # (n_batches, sw_batch, 3) int32
+    valid: jax.Array,  # (n_batches, sw_batch) float32
+    importance: jax.Array,  # (rd, rh, rw) float32
+    *,
+    apply_fn: Callable,
+    roi: tuple[int, int, int],
+    n_classes: int,
+    sw_batch: int,
+) -> jax.Array:
+    rd, rh, rw = roi
+    c = volume.shape[-1]
+    acc = jnp.zeros(volume.shape[:3] + (n_classes,), dtype=jnp.float32)
+    imp = importance[..., None]  # (rd, rh, rw, 1)
+
+    def gather(start):
+        return jax.lax.dynamic_slice(
+            volume, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
+        )
+
+    def step(acc, batch):
+        starts_b, valid_b = batch  # (sw_batch, 3), (sw_batch,)
+        windows = jax.vmap(gather)(starts_b)  # (sw_batch, rd, rh, rw, C)
+        logits = apply_fn(params, windows).astype(jnp.float32)
+        weighted = logits * imp[None] * valid_b[:, None, None, None, None]
+
+        def scatter(i, a):
+            s = starts_b[i]
+            idx = (s[0], s[1], s[2], 0)
+            cur = jax.lax.dynamic_slice(a, idx, (rd, rh, rw, n_classes))
+            return jax.lax.dynamic_update_slice(a, cur + weighted[i], idx)
+
+        acc = jax.lax.fori_loop(0, sw_batch, scatter, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (starts, valid))
+    return acc
+
+
+def sliding_window_inference(
+    params,
+    volume,
+    apply_fn: Callable,
+    n_classes: int,
+    spec: SlidingWindowSpec,
+) -> jax.Array:
+    """Run whole-volume inference.
+
+    Args:
+      params: model parameter pytree (closed over by ``apply_fn``).
+      volume: (D, H, W, C) or (1, D, H, W, C) array (host or device).
+      apply_fn: ``apply_fn(params, windows) -> logits`` mapping a
+        (sw_batch, rd, rh, rw, C) window stack to (sw_batch, rd, rh, rw, K).
+      n_classes: K.
+      spec: grid/blending configuration.
+
+    Returns:
+      (D, H, W, K) float32 blended logits at the ORIGINAL (unpadded) size.
+    """
+    squeeze = False
+    if volume.ndim == 5:
+        if volume.shape[0] != 1:
+            raise ValueError("sliding_window_inference expects a single volume")
+        volume = volume[0]
+        squeeze = True
+    spatial = tuple(int(s) for s in volume.shape[:3])
+    roi = tuple(spec.roi)
+    pads = _pad_amounts(spatial, roi, spec.bucket_multiple)
+    padded_shape = tuple(s + lo + hi for s, (lo, hi) in zip(spatial, pads))
+
+    starts_np = compute_window_starts(padded_shape, roi, spec.overlap)
+    n = starts_np.shape[0]
+    n_pad = (-n) % spec.sw_batch
+    if n_pad:
+        starts_np = np.concatenate(
+            [starts_np, np.zeros((n_pad, 3), dtype=np.int32)], axis=0
+        )
+    valid_np = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(n_pad, np.float32)]
+    )
+    n_batches = starts_np.shape[0] // spec.sw_batch
+    starts_np = starts_np.reshape(n_batches, spec.sw_batch, 3)
+    valid_np = valid_np.reshape(n_batches, spec.sw_batch)
+
+    imp_np = (
+        constant_importance(roi)
+        if spec.mode == "constant"
+        else gaussian_importance(roi, spec.sigma_scale)
+    )
+    count_np = _count_map_cached(
+        padded_shape, roi, spec.overlap, spec.mode, spec.sigma_scale
+    )
+
+    vol = jnp.asarray(volume)
+    if any(lo or hi for lo, hi in pads):
+        vol = jnp.pad(vol, list(pads) + [(0, 0)])
+
+    acc = _swi_device(
+        params,
+        vol,
+        jnp.asarray(starts_np),
+        jnp.asarray(valid_np),
+        jnp.asarray(imp_np),
+        apply_fn=apply_fn,
+        roi=roi,
+        n_classes=n_classes,
+        sw_batch=spec.sw_batch,
+    )
+    out = acc / jnp.asarray(count_np)[..., None]
+    # crop padding
+    sl = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, spatial))
+    out = out[sl]
+    if squeeze:
+        out = out[None]
+    return out
