@@ -62,7 +62,10 @@ def confusion_counts(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def _nan_reduce(values: np.ndarray, reduction: str) -> np.ndarray:
-    with np.errstate(invalid="ignore"):
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices -> NaN
         if reduction == "mean":
             return np.float32(np.nanmean(values))
         if reduction == "mean_batch":

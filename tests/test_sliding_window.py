@@ -1,0 +1,119 @@
+"""Sliding-window inference tests.
+
+Contract: MONAI 0.6 ``sliding_window_inference`` as used at
+`/root/reference/unetr_segmentation_3d.py:109,143` (overlap 0.25, constant
+blend) and `:694-695` (overlap 0.8); BASELINE config 4 adds gaussian blending.
+Key invariant tested: for a voxel-wise predictor, windowed inference must
+reproduce the direct whole-volume result exactly for any grid/blending —
+blending weights cancel under normalization.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medseg.ops.sliding_window import (
+    SlidingWindowSpec,
+    compute_window_starts,
+    constant_importance,
+    gaussian_importance,
+    sliding_window_inference,
+)
+
+
+def voxelwise_apply(params, windows):
+    """A 1x1 'conv': logits = x @ W, pure voxel-wise function of input."""
+    return jnp.einsum("bdhwc,ck->bdhwk", windows, params)
+
+
+def test_window_starts_cover_and_clip():
+    starts = compute_window_starts((10, 10, 10), (4, 4, 4), overlap=0.25)
+    per_dim = np.unique(starts[:, 0])
+    np.testing.assert_array_equal(per_dim, [0, 3, 6])
+    # all windows in-bounds
+    assert starts.max() <= 6
+    # exact-fit dim: one window
+    starts = compute_window_starts((4, 4, 4), (4, 4, 4), overlap=0.25)
+    assert starts.shape == (1, 3)
+
+
+def test_window_starts_full_coverage():
+    for shape, roi, ov in [((13, 9, 17), (4, 4, 4), 0.5), ((20, 20, 20), (8, 8, 8), 0.8)]:
+        starts = compute_window_starts(shape, roi, ov)
+        covered = np.zeros(shape, bool)
+        for s in starts:
+            covered[s[0] : s[0] + roi[0], s[1] : s[1] + roi[1], s[2] : s[2] + roi[2]] = True
+        assert covered.all()
+
+
+def test_gaussian_importance_properties():
+    w = gaussian_importance((8, 8, 8))
+    assert w.shape == (8, 8, 8)
+    assert w.max() == pytest.approx(1.0)
+    assert (w > 0).all()
+    # symmetric and peaked at the center
+    np.testing.assert_allclose(w, w[::-1, ::-1, ::-1], rtol=1e-6)
+    assert w[3, 3, 3] == w.max() or w[4, 4, 4] == w.max()
+
+
+@pytest.mark.parametrize("mode", ["constant", "gaussian"])
+@pytest.mark.parametrize("overlap", [0.25, 0.5, 0.8])
+def test_voxelwise_predictor_exact(rng, mode, overlap):
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=overlap, sw_batch=4, mode=mode)
+    out = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec
+    )
+    expected = vol @ w
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_volume_smaller_than_roi_pads_and_crops(rng):
+    vol = rng.normal(size=(5, 6, 7, 2)).astype(np.float32)
+    w = rng.normal(size=(2, 3)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.25)
+    out = sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 3, spec)
+    assert out.shape == (5, 6, 7, 3)
+    np.testing.assert_allclose(np.asarray(out), vol @ w, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_dim_passthrough(rng):
+    vol = rng.normal(size=(1, 12, 12, 12, 2)).astype(np.float32)
+    w = rng.normal(size=(2, 3)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8))
+    out = sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 3, spec)
+    assert out.shape == (1, 12, 12, 12, 3)
+
+
+def test_bucketing_preserves_result(rng):
+    vol = rng.normal(size=(19, 13, 11, 2)).astype(np.float32)
+    w = rng.normal(size=(2, 4)).astype(np.float32)
+    out1 = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 4, SlidingWindowSpec(roi=(8, 8, 8))
+    )
+    out2 = sliding_window_inference(
+        jnp.asarray(w),
+        jnp.asarray(vol),
+        voxelwise_apply,
+        4,
+        SlidingWindowSpec(roi=(8, 8, 8), bucket_multiple=16),
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-4, atol=1e-4)
+
+
+def test_real_conv_model_window_batching_invariance(rng):
+    """Result must not depend on sw_batch (windows are independent)."""
+    vol = rng.normal(size=(16, 16, 16, 1)).astype(np.float32)
+    w = rng.normal(size=(1, 2)).astype(np.float32)
+    outs = []
+    for swb in (1, 3, 8):
+        spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=swb)
+        outs.append(
+            np.asarray(
+                sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 2, spec)
+            )
+        )
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-5)
