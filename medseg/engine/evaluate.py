@@ -1,0 +1,115 @@
+"""Validation loops: sliding-window inference + metric accumulation.
+
+Capability contract: ``validation`` (`/root/reference/unetr_segmentation_3d.py:103-132`)
+and ``validation_all_metrics`` (`:134-209`) — per validation volume run
+sliding-window inference, apply the post-transforms, accumulate Dice (and for
+the full variant precision/sensitivity/Hausdorff), then aggregate mean and
+per-class ("mean_batch") values and reset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medseg.ops.metrics import (
+    ConfusionAccumulator,
+    DiceAccumulator,
+    HausdorffAccumulator,
+)
+from medseg.ops.post import argmax_onehot, sigmoid_threshold, to_onehot
+from medseg.ops.sliding_window import SlidingWindowSpec, sliding_window_inference
+
+
+@dataclasses.dataclass
+class ValidationResult:
+    mean_dice: float
+    per_class_dice: np.ndarray
+    mean_precision: float | None = None
+    per_class_precision: np.ndarray | None = None
+    mean_recall: float | None = None
+    per_class_recall: np.ndarray | None = None
+    mean_hausdorff: float | None = None
+    per_class_hausdorff: np.ndarray | None = None
+
+
+class Validator:
+    """Sliding-window validator over a dataset of whole volumes.
+
+    Args:
+      model: UNETR flax module.
+      n_classes: output channels.
+      task: "ct" (argmax/one-hot post, seg :405-406) or "mri"
+        (sigmoid+threshold post, seg :482).
+      spec: sliding-window grid/blending config (seg :109 uses ROI=crop^3,
+        sw_batch=4, overlap 0.25 constant).
+    """
+
+    def __init__(
+        self,
+        model,
+        n_classes: int,
+        task: str,
+        spec: SlidingWindowSpec,
+    ) -> None:
+        self.model = model
+        self.n_classes = n_classes
+        self.task = task
+        self.spec = spec
+
+        def apply_fn(params, windows):
+            return model.apply(params, windows, return_encoder_features=False)
+
+        self._apply_fn = apply_fn
+
+    def infer_volume(self, params, image: jax.Array) -> jax.Array:
+        """Blended whole-volume logits, (D, H, W, K) fp32."""
+        return sliding_window_inference(
+            params, image, self._apply_fn, self.n_classes, self.spec
+        )
+
+    def predict_mask(self, params, image: jax.Array) -> jax.Array:
+        logits = self.infer_volume(params, image)
+        if self.task == "ct":
+            return argmax_onehot(logits, self.n_classes)
+        return sigmoid_threshold(logits)
+
+    def _post_label(self, label: jax.Array) -> jax.Array:
+        if self.task == "ct":
+            return to_onehot(label, self.n_classes)
+        return label.astype(jnp.float32)  # BraTS labels already multi-channel
+
+    def __call__(
+        self, params, volumes: Iterable[dict], *, all_metrics: bool = False
+    ) -> ValidationResult:
+        dice = DiceAccumulator()
+        prec = ConfusionAccumulator("precision") if all_metrics else None
+        rec = ConfusionAccumulator("sensitivity") if all_metrics else None
+        hsd = HausdorffAccumulator() if all_metrics else None
+        for batch in volumes:
+            image, label = batch["image"], batch["label"]
+            pred = self.predict_mask(params, image)[None]
+            lab = self._post_label(jnp.asarray(label))
+            if lab.ndim == 4:
+                lab = lab[None]
+            dice(pred, lab)
+            if all_metrics:
+                prec(pred, lab)
+                rec(pred, lab)
+                hsd(pred, lab)
+        result = ValidationResult(
+            mean_dice=float(dice.aggregate("mean")),
+            per_class_dice=dice.aggregate("mean_batch"),
+        )
+        if all_metrics:
+            result.mean_precision = float(prec.aggregate("mean"))
+            result.per_class_precision = prec.aggregate("mean_batch")
+            result.mean_recall = float(rec.aggregate("mean"))
+            result.per_class_recall = rec.aggregate("mean_batch")
+            result.mean_hausdorff = float(hsd.aggregate("mean"))
+            result.per_class_hausdorff = hsd.aggregate("mean_batch")
+        return result

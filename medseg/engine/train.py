@@ -1,0 +1,125 @@
+"""Supervised training engine: jitted step + loop with periodic validation.
+
+Capability contract: the reference ``train`` loop
+(`/root/reference/unetr_segmentation_3d.py:211-268`) — per step: forward,
+DiceCE, backward, AdamW update; every ``eval_num`` steps run validation and
+save the best-mean-Dice checkpoint.
+
+TPU-native differences:
+- the whole step (fwd + bwd + optimizer) is ONE jitted XLA program with the
+  train state donated (no reallocation churn in HBM);
+- batches arrive sharded over the mesh data axis; XLA inserts the gradient
+  all-reduce over ICI (see medseg/parallel/mesh.py);
+- loss is computed in fp32 even when activations are bf16.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+
+from medseg.engine.state import TrainState
+from medseg.ops.losses import dice_ce_loss
+
+
+def make_train_step(
+    model,
+    *,
+    task: str = "ct",
+    donate: bool = True,
+) -> Callable[[TrainState, dict], tuple[TrainState, jax.Array]]:
+    """Build the jitted supervised train step.
+
+    ``task="ct"`` -> DiceCE(softmax, one-hot target) per
+    `unetr_segmentation_3d.py:404`; ``task="mri"`` -> DiceCE(sigmoid,
+    multi-channel target) per `:480`.
+    """
+    softmax = task == "ct"
+
+    def loss_fn(params, image, label):
+        logits = model.apply(
+            params, image, return_encoder_features=False, deterministic=False
+        )
+        return dice_ce_loss(
+            logits,
+            label,
+            softmax=softmax,
+            sigmoid=not softmax,
+            to_onehot_y=softmax,
+        )
+
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch["image"], batch["label"]
+        )
+        return state.apply_gradients(grads), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+class TrainLoop:
+    """Step loop with periodic validation and best-checkpoint selection.
+
+    Mirrors the reference driver (`unetr_segmentation_3d.py:599-621`):
+    run until ``max_iterations`` global steps, validating every ``eval_num``
+    steps, keeping the best mean-Dice checkpoint.
+    """
+
+    def __init__(
+        self,
+        train_step: Callable,
+        *,
+        max_iterations: int,
+        eval_num: int,
+        validator: Callable[[TrainState], float] | None = None,
+        checkpointer=None,
+        log_fn: Callable[[str], None] = print,
+    ) -> None:
+        self.train_step = train_step
+        self.max_iterations = max_iterations
+        self.eval_num = eval_num
+        self.validator = validator
+        self.checkpointer = checkpointer
+        self.log_fn = log_fn
+        self.loss_history: list[float] = []
+        self.metric_history: list[float] = []
+        self.best_metric: float = -1.0
+        self.best_step: int = -1
+        self.running_time: float = 0.0
+
+    def run(self, state: TrainState, batches: Iterator[dict]) -> TrainState:
+        global_step = int(state.step)
+        while global_step < self.max_iterations:
+            try:
+                batch = next(batches)
+            except StopIteration:
+                break
+            t0 = time.perf_counter()
+            state, loss = self.train_step(state, batch)
+            loss = float(loss)  # blocks; keeps per-step timing honest
+            self.running_time += time.perf_counter() - t0
+            self.loss_history.append(loss)
+            global_step += 1
+            if (
+                global_step % self.eval_num == 0 or global_step == self.max_iterations
+            ) and self.validator is not None:
+                metric = float(self.validator(state))
+                self.metric_history.append(metric)
+                if metric > self.best_metric:
+                    self.best_metric = metric
+                    self.best_step = global_step
+                    if self.checkpointer is not None:
+                        self.checkpointer.save(state, metrics={"dice": metric})
+                    self.log_fn(
+                        f"Model Was Saved ! Best Dice: {self.best_metric:.5f} "
+                        f"at step {self.best_step}; train time {self.running_time:.1f}s"
+                    )
+                else:
+                    self.log_fn(
+                        f"Model Not Saved ! Best Dice: {self.best_metric:.5f} "
+                        f"Current: {metric:.5f} at step {global_step}"
+                    )
+        return state

@@ -115,10 +115,13 @@ class UNETR(nn.Module):
             reference's local variant, else logits only (stock MONAI variant).
         """
         x, hidden_states = self.vit(x_in, deterministic=deterministic)
+        # Skip taps at quarter depths: 3/6/9 for the reference's fixed 12
+        # layers (`/root/reference/unetr.py:187-201`), scaled for other depths.
+        q = self.num_layers // 4
         enc1 = self.encoder1(x_in)
-        enc2 = self.encoder2(self.proj_feat(hidden_states[3]))
-        enc3 = self.encoder3(self.proj_feat(hidden_states[6]))
-        enc4 = self.encoder4(self.proj_feat(hidden_states[9]))
+        enc2 = self.encoder2(self.proj_feat(hidden_states[1 * q]))
+        enc3 = self.encoder3(self.proj_feat(hidden_states[2 * q]))
+        enc4 = self.encoder4(self.proj_feat(hidden_states[3 * q]))
         dec4 = self.proj_feat(x)
         if freeze_encoder:
             x = jax.lax.stop_gradient(x)
