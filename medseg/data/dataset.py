@@ -1,0 +1,153 @@
+"""Dataset handling: Decathlon datalist, k-fold CV, caching dataset.
+
+Capability contracts:
+
+- ``load_decathlon_datalist(json, True, "training")``
+  (`/root/reference/unetr_segmentation_3d.py:546-548`; the expected on-disk
+  layout is documented by the reference itself at `:538-544`): parse
+  ``dataset.json``'s "training" list of {"image", "label"} entries into
+  absolute paths.
+- ``sklearn.model_selection.KFold(n_splits=5)`` (`:549-559`): contiguous
+  deterministic folds (sklearn default shuffle=False).
+- ``CrossValidation(nfolds=5, seed=12345)`` over ``DecathlonDataset``
+  (`:525-536`): seeded shuffle-partition of the datalist into folds;
+  ``get_dataset(folds)`` concatenates the requested folds.
+- ``CacheDataset(cache_rate)`` (`:554-557`): map-style dataset applying a
+  transform; with cache_rate > 0, the deterministic prefix is precomputed.
+  The reference runs cache_rate=0.0 (plain map-style).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+def load_decathlon_datalist(
+    json_path: str,
+    is_segmentation: bool = True,
+    data_list_key: str = "training",
+    base_dir: str | None = None,
+) -> list[dict]:
+    with open(json_path) as f:
+        meta = json.load(f)
+    if data_list_key not in meta:
+        raise KeyError(f"{data_list_key!r} not found in {json_path}")
+    base = base_dir if base_dir is not None else os.path.dirname(os.path.abspath(json_path))
+    out = []
+    for entry in meta[data_list_key]:
+        if isinstance(entry, str):  # "test" lists may be bare image paths
+            entry = {"image": entry}
+        item = dict(entry)
+        for key in ("image", "label"):
+            if key in item and not os.path.isabs(item[key]):
+                item[key] = os.path.join(base, item[key])
+        out.append(item)
+    return out
+
+
+def kfold_split(n_items: int, n_splits: int = 5):
+    """sklearn KFold(shuffle=False) contract: contiguous folds, the first
+    ``n_items % n_splits`` folds one element larger. Yields (train, test)."""
+    indices = np.arange(n_items)
+    sizes = np.full(n_splits, n_items // n_splits, dtype=int)
+    sizes[: n_items % n_splits] += 1
+    current = 0
+    for size in sizes:
+        test = indices[current : current + size]
+        train = np.concatenate([indices[:current], indices[current + size :]])
+        yield train, test
+        current += size
+
+
+class CrossValidationFolds:
+    """MONAI ``CrossValidation`` contract: seeded shuffle, then even
+    partition into ``nfolds``; ``get_datalist(folds)`` concatenates folds."""
+
+    def __init__(self, datalist: Sequence[dict], nfolds: int = 5, seed: int = 12345):
+        self.datalist = list(datalist)
+        self.nfolds = nfolds
+        indices = np.arange(len(self.datalist))
+        rs = np.random.RandomState(seed)
+        rs.shuffle(indices)
+        self.partitions = [list(p) for p in np.array_split(indices, nfolds)]
+
+    def get_datalist(self, folds) -> list[dict]:
+        if isinstance(folds, int):
+            folds = [folds]
+        out = []
+        for f in folds:
+            out.extend(self.datalist[i] for i in self.partitions[f])
+        return out
+
+
+class ListDataset:
+    """Map-style dataset: datalist entry -> transform(entry)."""
+
+    def __init__(self, data: Sequence[dict], transform: Callable | None = None):
+        self.data = list(data)
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int):
+        sample = dict(self.data[idx])
+        return self.transform(sample) if self.transform else sample
+
+
+class CacheDataset(ListDataset):
+    """Optionally precompute the transform for a fraction of items.
+
+    With ``cache_rate=0.0`` (the reference setting, seg :555) this is a plain
+    ListDataset. With > 0, the ``cache_transform`` (deterministic prefix) is
+    applied once at construction and the ``transform`` (random suffix) per
+    access — the MONAI split of deterministic vs random transforms.
+    """
+
+    def __init__(
+        self,
+        data: Sequence[dict],
+        transform: Callable | None = None,
+        cache_rate: float = 0.0,
+        cache_transform: Callable | None = None,
+    ):
+        super().__init__(data, transform)
+        self.cache_transform = cache_transform
+        n_cache = int(len(self.data) * cache_rate) if cache_transform else 0
+        self._cache: dict[int, dict] = {}
+        for i in range(n_cache):
+            self._cache[i] = cache_transform(dict(self.data[i]))
+
+    def __getitem__(self, idx: int):
+        if idx in self._cache:
+            sample = dict(self._cache[idx])
+            return self.transform(sample) if self.transform else sample
+        sample = dict(self.data[idx])
+        if self.cache_transform:
+            sample = self.cache_transform(sample)
+        return self.transform(sample) if self.transform else sample
+
+
+def decollate_batch(batch: dict) -> list[dict]:
+    """Split a batched dict into per-sample dicts
+    (MONAI ``decollate_batch``, seg :110-117)."""
+    sizes = {
+        len(v) for v in batch.values() if isinstance(v, (np.ndarray, list))
+    }
+    if not sizes:
+        return [batch]
+    n = max(sizes)
+    out = []
+    for i in range(n):
+        item = {}
+        for k, v in batch.items():
+            if isinstance(v, (np.ndarray, list)) and len(v) == n:
+                item[k] = v[i]
+            else:
+                item[k] = v
+        out.append(item)
+    return out

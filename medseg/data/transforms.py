@@ -1,0 +1,329 @@
+"""Deterministic preprocessing transforms (host-side, numpy).
+
+Capability contracts are the MONAI 0.6 transforms the reference composes
+(`/root/reference/unetr_segmentation_3d.py:321-482`,
+`unetr_ranking_pretraining_3d.py:344-445`):
+
+- ``LoadImaged`` -> `load` (first-party NIfTI reader)
+- ``AddChanneld`` / ``EnsureChannelFirstd`` -> `ensure_channel` (we use
+  channels-LAST internally: TPU layout)
+- ``Orientationd(axcodes="RAS")`` -> `orient_ras`
+- ``Spacingd(pixdim, mode=("bilinear","nearest"))`` -> `respace`
+- ``ScaleIntensityRanged(a_min,a_max,b_min,b_max,clip)`` -> `scale_intensity_range`
+- ``NormalizeIntensityd(nonzero=True, channel_wise=True)`` -> `normalize_intensity`
+- ``CropForegroundd(source_key="image")`` -> `crop_foreground`
+- ``ConvertToMultiChannelBasedOnBratsClassesd`` -> `brats_to_multichannel`
+
+These run on host (like the reference's DataLoader worker processes,
+SURVEY.md §3.5) because they are dynamic-shape; the random *crop-level*
+augmentations that follow are in medseg/data/sampling.py. A fused device-side
+intensity chain lives in medseg/kernels for the throughput path.
+
+Sample dicts carry ``image``/``label`` arrays plus ``image_affine`` etc.,
+mirroring MONAI's meta-dict convention.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from medseg.data.nifti import read_nifti
+
+
+# ---------------------------------------------------------------------------
+# loading / layout
+# ---------------------------------------------------------------------------
+
+def load(sample: dict, keys: Sequence[str] = ("image", "label")) -> dict:
+    """LoadImaged: read NIfTI files at ``sample[key]`` paths into arrays with
+    ``{key}_affine`` and ``{key}_path`` metadata."""
+    out = dict(sample)
+    for key in keys:
+        if key not in sample:
+            continue
+        img = read_nifti(sample[key], dtype=np.float32)
+        out[key] = img.data
+        out[f"{key}_affine"] = img.affine
+        out[f"{key}_path"] = sample[key]
+    return out
+
+
+def ensure_channel(sample: dict, keys: Sequence[str] = ("image", "label")) -> dict:
+    """AddChanneld/EnsureChannelFirstd equivalent for channels-last layout:
+    3D (X,Y,Z) -> (X,Y,Z,1); 4D NIfTI (X,Y,Z,C) stays channels-last."""
+    out = dict(sample)
+    for key in keys:
+        if key in out and out[key].ndim == 3:
+            out[key] = out[key][..., None]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# orientation
+# ---------------------------------------------------------------------------
+
+def _io_orientation(affine: np.ndarray):
+    """Axis/flip map from a voxel->world affine (nibabel io_orientation
+    contract): for each data axis, the dominant world axis and its sign."""
+    rot = affine[:3, :3]
+    zooms = np.linalg.norm(rot, axis=0)
+    zooms[zooms == 0] = 1.0
+    normed = rot / zooms
+    out = np.zeros((3, 2), dtype=np.int64)
+    remaining = [0, 1, 2]
+    # greedy assignment by strongest alignment
+    order = np.argsort(-np.abs(normed).max(axis=0))
+    for j in order:
+        col = normed[:, j]
+        best = max(remaining, key=lambda i: abs(col[i]))
+        out[j] = (best, 1 if col[best] >= 0 else -1)
+        remaining.remove(best)
+    return out
+
+
+def orient_ras(sample: dict, keys: Sequence[str] = ("image", "label")) -> dict:
+    """Orientationd(axcodes="RAS"): permute/flip voxel axes so axis 0 points
+    Right, axis 1 Anterior, axis 2 Superior; update the affine accordingly."""
+    out = dict(sample)
+    for key in keys:
+        if key not in out or f"{key}_affine" not in out:
+            continue
+        data = out[key]
+        affine = np.asarray(out[f"{key}_affine"], dtype=np.float64)
+        ornt = _io_orientation(affine)
+        spatial_shape = data.shape[:3]
+
+        # flip axes with negative direction
+        flips = [int(ax) for ax, (_, sign) in enumerate(ornt) if sign < 0]
+        if flips:
+            data = np.flip(data, axis=flips)
+        # permute so data axis k maps to world axis k
+        perm = np.argsort(ornt[:, 0])
+        extra = list(range(3, data.ndim))
+        data = np.transpose(data, list(perm) + extra)
+
+        # rebuild the affine: T = old_affine @ inv(transform applied to voxels)
+        t_flip = np.eye(4)
+        for ax in flips:
+            t_flip[ax, ax] = -1.0
+            t_flip[ax, 3] = spatial_shape[ax] - 1
+        t_perm = np.zeros((4, 4))
+        t_perm[3, 3] = 1.0
+        for new_ax, old_ax in enumerate(perm):
+            t_perm[old_ax, new_ax] = 1.0
+        out[key] = np.ascontiguousarray(data)
+        out[f"{key}_affine"] = affine @ t_flip @ t_perm
+    return out
+
+
+# ---------------------------------------------------------------------------
+# resampling
+# ---------------------------------------------------------------------------
+
+def _trilinear_sample(vol: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Sample (X,Y,Z,C) volume at float voxel coords (..., 3), border-clamped
+    (torch grid_sample padding_mode="border" — the MONAI Spacing default)."""
+    shape = np.array(vol.shape[:3])
+    c = np.clip(coords, 0.0, (shape - 1).astype(np.float64))
+    c0 = np.floor(c).astype(np.int64)
+    c1 = np.minimum(c0 + 1, shape - 1)
+    w = c - c0
+    out = None
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                idx = (
+                    c1[..., 0] if dx else c0[..., 0],
+                    c1[..., 1] if dy else c0[..., 1],
+                    c1[..., 2] if dz else c0[..., 2],
+                )
+                weight = (
+                    (w[..., 0] if dx else 1 - w[..., 0])
+                    * (w[..., 1] if dy else 1 - w[..., 1])
+                    * (w[..., 2] if dz else 1 - w[..., 2])
+                )
+                term = vol[idx] * weight[..., None]
+                out = term if out is None else out + term
+    return out
+
+
+def _nearest_sample(vol: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    shape = np.array(vol.shape[:3])
+    idx = np.clip(np.round(coords), 0, shape - 1).astype(np.int64)
+    return vol[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+
+def respace(
+    sample: dict,
+    pixdim: Sequence[float] = (1.0, 1.0, 1.0),
+    keys: Sequence[str] = ("image", "label"),
+    modes: Sequence[str] = ("trilinear", "nearest"),
+) -> dict:
+    """Spacingd: resample to isotropic voxel spacing.
+
+    Output shape per dim = ceil(extent_in_mm / new_spacing) + 1 voxels along
+    the world axes implied by the (already RAS) affine; image trilinear,
+    label nearest (`unetr_segmentation_3d.py:326-330`).
+    """
+    out = dict(sample)
+    pixdim = np.asarray(pixdim, dtype=np.float64)
+    for key, mode in zip(keys, modes):
+        if key not in out or f"{key}_affine" not in out:
+            continue
+        data = out[key]
+        affine = np.asarray(out[f"{key}_affine"], dtype=np.float64)
+        old_spacing = np.linalg.norm(affine[:3, :3], axis=0)
+        in_shape = np.array(data.shape[:3])
+        # number of output samples covering the same physical extent
+        new_shape = np.maximum(
+            np.round(in_shape * old_spacing / pixdim).astype(np.int64), 1
+        )
+        if np.array_equal(new_shape, in_shape) and np.allclose(old_spacing, pixdim):
+            continue
+        # new affine: same axis directions & origin, unit spacing pixdim
+        dirs = affine[:3, :3] / old_spacing
+        new_affine = affine.copy()
+        new_affine[:3, :3] = dirs * pixdim
+
+        # output voxel -> input voxel coordinate map (affine composition)
+        inv_old = np.linalg.inv(affine)
+        m = inv_old @ new_affine  # 4x4: new voxel -> old voxel
+        grid = np.stack(
+            np.meshgrid(
+                np.arange(new_shape[0]),
+                np.arange(new_shape[1]),
+                np.arange(new_shape[2]),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).astype(np.float64)
+        coords = grid @ m[:3, :3].T + m[:3, 3]
+        if mode == "nearest":
+            res = _nearest_sample(data, coords)
+        else:
+            res = _trilinear_sample(data, coords).astype(data.dtype)
+        out[key] = np.ascontiguousarray(res)
+        out[f"{key}_affine"] = new_affine
+    return out
+
+
+# ---------------------------------------------------------------------------
+# intensity
+# ---------------------------------------------------------------------------
+
+def scale_intensity_range(
+    sample: dict,
+    a_min: float = -175.0,
+    a_max: float = 250.0,
+    b_min: float = 0.0,
+    b_max: float = 1.0,
+    clip: bool = True,
+    keys: Sequence[str] = ("image",),
+) -> dict:
+    """ScaleIntensityRanged: linear [a_min,a_max] -> [b_min,b_max] with clip
+    (CT windowing, `unetr_segmentation_3d.py:332-339`)."""
+    out = dict(sample)
+    scale = (b_max - b_min) / (a_max - a_min)
+    for key in keys:
+        img = out[key].astype(np.float32)
+        img = (img - a_min) * scale + b_min
+        if clip:
+            img = np.clip(img, b_min, b_max)
+        out[key] = img
+    return out
+
+
+def normalize_intensity(
+    sample: dict,
+    nonzero: bool = True,
+    channel_wise: bool = True,
+    keys: Sequence[str] = ("image",),
+) -> dict:
+    """NormalizeIntensityd: z-score over (nonzero) voxels, per channel
+    (MRI path, `unetr_segmentation_3d.py:456`)."""
+    out = dict(sample)
+    for key in keys:
+        img = out[key].astype(np.float32)
+        if not channel_wise:
+            img = _znorm(img, nonzero)
+        else:
+            chans = [_znorm(img[..., c], nonzero) for c in range(img.shape[-1])]
+            img = np.stack(chans, axis=-1)
+        out[key] = img
+    return out
+
+
+def _znorm(x: np.ndarray, nonzero: bool) -> np.ndarray:
+    mask = x != 0 if nonzero else np.ones_like(x, dtype=bool)
+    if not mask.any():
+        return x
+    vals = x[mask]
+    mean, std = vals.mean(), vals.std()
+    if std == 0:
+        std = 1.0
+    y = x.copy()
+    y[mask] = (vals - mean) / std
+    return y
+
+
+# ---------------------------------------------------------------------------
+# cropping / labels
+# ---------------------------------------------------------------------------
+
+def crop_foreground(
+    sample: dict,
+    source_key: str = "image",
+    keys: Sequence[str] = ("image", "label"),
+    margin: int = 0,
+) -> dict:
+    """CropForegroundd: crop all keys to the bounding box of
+    ``source > 0`` (`unetr_segmentation_3d.py:340`)."""
+    out = dict(sample)
+    src = out[source_key]
+    fg = src > 0
+    if fg.ndim == 4:
+        fg = fg.any(axis=-1)
+    if not fg.any():
+        return out
+    coords = np.nonzero(fg)
+    starts = [max(int(c.min()) - margin, 0) for c in coords]
+    stops = [min(int(c.max()) + 1 + margin, s) for c, s in zip(coords, fg.shape)]
+    sl = tuple(slice(a, b) for a, b in zip(starts, stops))
+    for key in keys:
+        if key in out:
+            out[key] = np.ascontiguousarray(out[key][sl])
+    out["foreground_start"] = np.asarray(starts, dtype=np.int64)
+    return out
+
+
+def brats_to_multichannel(sample: dict, key: str = "label") -> dict:
+    """ConvertToMultiChannelBasedOnBratsClassesd (host-side numpy twin of
+    medseg.ops.post.convert_brats_labels_to_multichannel)."""
+    out = dict(sample)
+    label = out[key]
+    if label.ndim == 4 and label.shape[-1] == 1:
+        label = label[..., 0]
+    bg = label == 0
+    tc = (label == 2) | (label == 3)
+    wt = (label == 1) | (label == 2) | (label == 3)
+    et = label == 3
+    out[key] = np.stack([bg, tc, wt, et], axis=-1).astype(np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# composition
+# ---------------------------------------------------------------------------
+
+class Compose:
+    """Minimal MONAI-style Compose over ``sample -> sample`` callables."""
+
+    def __init__(self, transforms) -> None:
+        self.transforms = list(transforms)
+
+    def __call__(self, sample: dict) -> dict:
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
