@@ -1,0 +1,232 @@
+"""Supervised segmentation CLI — reference-compatible driver.
+
+Usage (same positional arguments as `/root/reference/unetr_segmentation_3d.py:271-286`):
+
+    python -m medseg.cli.segmentation DATA_DIR DATASET_NAME ROOT_DIR N_CLASSES \
+        PRETRAINED MODE TRAIN_SIZE LEARNING_RATE [--folds K] [--max-iterations N] \
+        [--eval-num N] [--bf16]
+
+Per fold (reference driver `:561-723`): build loaders, train to
+``max_iterations`` with validation every ``eval_num`` steps and best-Dice
+checkpointing, then run the all-metrics validation, dump ``.npy`` metric
+series, plot the loss/Dice curves, and render slice-overlay PDFs for fold 0.
+``MODE="eval"`` skips training and evaluates the best checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medseg.cli.common import (
+    apply_overrides,
+    build_model,
+    device_put_batch,
+    fold_datalists,
+    make_output_dir,
+    resolve_datalist,
+    subsample_train,
+)
+from medseg.config import preset
+from medseg.data.dataset import CacheDataset
+from medseg.data.loader import DataLoader
+from medseg.data.pipelines import train_transforms, val_transforms
+from medseg.engine.checkpoint import CheckpointManager, load_torch_checkpoint
+from medseg.engine.evaluate import Validator
+from medseg.engine.state import create_train_state
+from medseg.engine.train import TrainLoop, make_train_step
+from medseg.ops.post import multichannel_to_label_map
+from medseg.ops.sliding_window import SlidingWindowSpec
+from medseg.utils.artifacts import (
+    RunLogger,
+    plot_training_curves,
+    save_metric_series,
+    save_slice_overlays,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("data_dir", type=str)
+    p.add_argument("dataset_name", type=str)
+    p.add_argument("root_dir", type=str)
+    p.add_argument("n_classes", type=int)
+    p.add_argument("pretrained", type=str)
+    p.add_argument("mode", type=str, choices=["train", "eval"])
+    p.add_argument("train_size", type=float)
+    p.add_argument("learning_rate", type=float)
+    p.add_argument("--folds", type=int, default=5)
+    p.add_argument("--max-folds", type=int, default=None,
+                   help="run only the first K folds (debug/smoke)")
+    p.add_argument("--max-iterations", type=int, default=25000)
+    p.add_argument("--eval-num", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    # model-size overrides (defaults = the reference's only configuration,
+    # seg :501-513); small values make CPU smoke tests feasible
+    p.add_argument("--crop-size", type=int, default=None)
+    p.add_argument("--feature-size", type=int, default=16)
+    p.add_argument("--hidden-size", type=int, default=768)
+    p.add_argument("--mlp-dim", type=int, default=3072)
+    p.add_argument("--num-heads", type=int, default=12)
+    p.add_argument("--num-layers", type=int, default=12)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--sw-overlap", type=float, default=0.25)
+    p.add_argument("--sw-mode", type=str, default="constant", choices=["constant", "gaussian"])
+    return p
+
+
+def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
+    out_dir = make_output_dir(args.root_dir, args.pretrained, args.dataset_name, fold_idx)
+    logger = RunLogger(out_dir, f"lr_{args.learning_rate}_train_size_{int(args.train_size)}")
+    logger.write(f"fold {fold_idx}: {len(train_list)} train / {len(val_list)} val volumes")
+
+    model = build_model(args, cfg)
+
+    rng_np = np.random.default_rng(args.seed + fold_idx)
+    train_ds = CacheDataset(train_list, transform=train_transforms(cfg.data, rng_np))
+    val_ds = CacheDataset(val_list, transform=val_transforms(cfg.data))
+    train_loader = DataLoader(
+        train_ds,
+        batch_size=1,
+        shuffle=True,
+        num_workers=cfg.data.num_workers,
+        seed=args.seed,
+        device_put=device_put_batch,
+    )
+    val_loader = DataLoader(
+        val_ds, batch_size=1, shuffle=False, num_workers=cfg.data.num_workers
+    )
+
+    crop = cfg.model.crop_size
+    sample = jnp.zeros((1, crop, crop, crop, cfg.model.in_channels), jnp.float32)
+    state = create_train_state(
+        model,
+        rng=jax.random.key(args.seed + fold_idx),
+        sample_input=sample,
+        learning_rate=args.learning_rate,
+        weight_decay=1e-5,
+    )
+    if args.pretrained and os.path.exists(args.pretrained):
+        logger.write(f"loading pretrained weights: {args.pretrained}")
+        if args.pretrained.endswith((".pth", ".pt")):
+            state = state.replace(
+                params=load_torch_checkpoint(args.pretrained, state.params)
+            )
+        else:
+            restore_mgr = CheckpointManager(args.pretrained)
+            state = restore_mgr.restore(state)
+
+    spec = SlidingWindowSpec(
+        roi=(crop,) * 3, overlap=args.sw_overlap, sw_batch=4, mode=args.sw_mode,
+        bucket_multiple=32,
+    )
+    validator = Validator(model, args.n_classes, cfg.data.task, spec)
+
+    def validate_volumes(loader):
+        def volume_iter():
+            for batch in loader:
+                yield {"image": batch["image"][0], "label": batch["label"][0]}
+        return volume_iter
+
+    ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    if ckpt.exists():
+        logger.write("resuming from existing best checkpoint")
+        state = ckpt.restore(state)
+
+    if args.mode == "train":
+        loop = TrainLoop(
+            make_train_step(model, task=cfg.data.task),
+            max_iterations=args.max_iterations,
+            eval_num=args.eval_num,
+            validator=lambda s: validator(
+                s.params, validate_volumes(val_loader)()
+            ).mean_dice,
+            checkpointer=ckpt,
+            log_fn=lambda msg: (print(msg), logger.write(msg)),
+        )
+
+        def batches():
+            while True:
+                yield from train_loader
+
+        state = loop.run(state, batches())
+        save_metric_series(
+            out_dir,
+            f"lr_{args.learning_rate}",
+            {"loss": loop.loss_history, "dice": loop.metric_history},
+        )
+        plot_training_curves(
+            os.path.join(out_dir, "curves.png"),
+            loop.loss_history,
+            loop.metric_history,
+            args.eval_num,
+        )
+
+    # final evaluation with all metrics (seg :623-648)
+    if ckpt.exists():
+        state = ckpt.restore(state)
+    result = validator(state.params, validate_volumes(val_loader)(), all_metrics=True)
+    summary = {
+        "dice": result.mean_dice,
+        "dice_per_class": result.per_class_dice.tolist(),
+        "precision": result.mean_precision,
+        "recall": result.mean_recall,
+        "hausdorff": result.mean_hausdorff,
+    }
+    logger.write(f"fold {fold_idx} final: {summary}")
+    logger.event("final_metrics", fold=fold_idx, **{k: v for k, v in summary.items()})
+    save_metric_series(
+        out_dir,
+        "final",
+        {
+            "dice_per_class": result.per_class_dice,
+            "precision_per_class": result.per_class_precision,
+            "recall_per_class": result.per_class_recall,
+            "hausdorff_per_class": result.per_class_hausdorff,
+        },
+    )
+
+    # slice-overlay PDFs for fold 0 (seg :666-723)
+    if fold_idx == 0 and len(val_ds) > 0:
+        sample0 = val_ds[0]
+        image = jnp.asarray(sample0["image"])
+        mask = validator.predict_mask(state.params, image)
+        if cfg.data.task == "ct":
+            pred_map = np.asarray(jnp.argmax(mask, axis=-1))
+            label_map = np.asarray(sample0["label"][..., 0]).astype(np.int64)
+        else:
+            pred_map = np.asarray(multichannel_to_label_map(mask))
+            label_map = np.asarray(
+                multichannel_to_label_map(jnp.asarray(sample0["label"]))
+            )
+        save_slice_overlays(
+            os.path.join(out_dir, "overlays.pdf"),
+            np.asarray(sample0["image"][..., 0]),
+            label_map,
+            pred_map,
+            args.n_classes,
+        )
+    return summary
+
+
+def main(argv=None) -> list[dict]:
+    args = build_parser().parse_args(argv)
+    cfg = apply_overrides(preset(args.dataset_name, args.n_classes), args)
+    datalist = resolve_datalist(args.data_dir, args.dataset_name)
+    folds = fold_datalists(datalist, args.dataset_name, args.folds, cfg.data.cv_seed)
+    results = []
+    if args.max_folds is not None:
+        folds = folds[: args.max_folds]
+    for fold_idx, (train_list, val_list) in enumerate(folds):
+        train_list = subsample_train(train_list, args.train_size)
+        results.append(run_fold(args, cfg, fold_idx, train_list, val_list))
+    return results
+
+
+if __name__ == "__main__":
+    main()

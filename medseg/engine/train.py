@@ -51,13 +51,17 @@ def make_train_step(
             to_onehot_y=softmax,
         )
 
-    def step(state: TrainState, batch: dict) -> tuple[TrainState, jax.Array]:
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch["image"], batch["label"]
-        )
+    def step(state: TrainState, image: jax.Array, label: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, image, label)
         return state.apply_gradients(grads), loss
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def step_on_batch(state: TrainState, batch: dict):
+        """Accept a loader batch dict; metadata (paths, affines) stays host-side."""
+        return jitted(state, batch["image"], batch["label"])
+
+    return step_on_batch
 
 
 class TrainLoop:

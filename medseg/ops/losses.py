@@ -38,8 +38,12 @@ _MULTILABEL_CE_ARGMAX = True
 
 
 def to_onehot(labels: jax.Array, num_classes: int) -> jax.Array:
-    """Label indices (B, D, H, W[, 1]) -> one-hot (B, D, H, W, C)."""
-    if labels.ndim == 5 and labels.shape[-1] == 1:
+    """Label indices ([B,] D, H, W[, 1]) -> one-hot ([B,] D, H, W, C).
+
+    A trailing singleton channel axis is squeezed first (labels arrive either
+    as bare index maps or with an explicit 1-channel axis).
+    """
+    if labels.ndim >= 4 and labels.shape[-1] == 1:
         labels = labels[..., 0]
     return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
 
