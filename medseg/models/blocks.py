@@ -68,6 +68,34 @@ class InstanceNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class _FastConv3(nn.Module):
+    """3x3x3 stride-1 conv routed through the Pallas flat-lane kernel on TPU
+    (medseg/kernels/conv3d.py) with an exact XLA fallback elsewhere. Parameter
+    names/shapes identical to ``nn.Conv`` so checkpoints are interchangeable."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from medseg.kernels.conv3d import conv3x3x3
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, in_ch, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = conv3x3x3(x.astype(dtype), kernel.astype(dtype)).astype(dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
 class Conv3d(nn.Module):
     """3D convolution, NDHWC, torch-compatible 'same' padding for odd kernels."""
 
@@ -80,6 +108,13 @@ class Conv3d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = self.kernel_size
+        if k == 3 and self.stride == 1:
+            return _FastConv3(
+                features=self.features,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         pad = (k - 1) // 2
         return nn.Conv(
             features=self.features,

@@ -133,20 +133,60 @@ def _count_map_cached(padded_shape, roi, overlap, mode, sigma_scale) -> np.ndarr
     return count
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "roi", "n_classes", "sw_batch"))
+@lru_cache(maxsize=32)
+def _device_grid_cached(padded_shape, roi, overlap, mode, sigma_scale, sw_batch):
+    """Device-resident grid constants, uploaded ONCE per (shape, spec).
+
+    Host->device transfers are expensive (on pod-remote setups they cross a
+    network tunnel); the per-volume-shape grid (starts, validity mask,
+    importance map, reciprocal count map) never changes, so cache it on
+    device instead of re-uploading ~hundreds of MB per inference call.
+    """
+    starts_np = compute_window_starts(padded_shape, roi, overlap)
+    n = starts_np.shape[0]
+    n_pad = (-n) % sw_batch
+    if n_pad:
+        starts_np = np.concatenate(
+            [starts_np, np.zeros((n_pad, 3), dtype=np.int32)], axis=0
+        )
+    valid_np = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
+    n_batches = starts_np.shape[0] // sw_batch
+    imp_np = (
+        constant_importance(roi)
+        if mode == "constant"
+        else gaussian_importance(roi, sigma_scale)
+    )
+    inv_count = 1.0 / _count_map_cached(padded_shape, roi, overlap, mode, sigma_scale)
+    return (
+        jnp.asarray(starts_np.reshape(n_batches, sw_batch, 3)),
+        jnp.asarray(valid_np.reshape(n_batches, sw_batch)),
+        jnp.asarray(imp_np),
+        jnp.asarray(inv_count),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "roi", "n_classes", "sw_batch", "pads", "out_shape"),
+)
 def _swi_device(
     params,
-    volume: jax.Array,  # (D, H, W, C) padded
+    volume: jax.Array,  # (D, H, W, C) unpadded
     starts: jax.Array,  # (n_batches, sw_batch, 3) int32
     valid: jax.Array,  # (n_batches, sw_batch) float32
     importance: jax.Array,  # (rd, rh, rw) float32
+    inv_count: jax.Array,  # padded-shape reciprocal normalization map
     *,
     apply_fn: Callable,
     roi: tuple[int, int, int],
     n_classes: int,
     sw_batch: int,
+    pads: tuple[tuple[int, int], ...],
+    out_shape: tuple[int, int, int],
 ) -> jax.Array:
     rd, rh, rw = roi
+    if any(lo or hi for lo, hi in pads):
+        volume = jnp.pad(volume, list(pads) + [(0, 0)])
     c = volume.shape[-1]
     acc = jnp.zeros(volume.shape[:3] + (n_classes,), dtype=jnp.float32)
     imp = importance[..., None]  # (rd, rh, rw, 1)
@@ -172,7 +212,10 @@ def _swi_device(
         return acc, None
 
     acc, _ = jax.lax.scan(step, acc, (starts, valid))
-    return acc
+    acc = acc * inv_count[..., None]
+    # crop the padding off inside the same program
+    begin = tuple(lo for lo, _ in pads) + (0,)
+    return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,))
 
 
 def sliding_window_inference(
@@ -203,51 +246,26 @@ def sliding_window_inference(
         squeeze = True
     spatial = tuple(int(s) for s in volume.shape[:3])
     roi = tuple(spec.roi)
-    pads = _pad_amounts(spatial, roi, spec.bucket_multiple)
+    pads = tuple(_pad_amounts(spatial, roi, spec.bucket_multiple))
     padded_shape = tuple(s + lo + hi for s, (lo, hi) in zip(spatial, pads))
 
-    starts_np = compute_window_starts(padded_shape, roi, spec.overlap)
-    n = starts_np.shape[0]
-    n_pad = (-n) % spec.sw_batch
-    if n_pad:
-        starts_np = np.concatenate(
-            [starts_np, np.zeros((n_pad, 3), dtype=np.int32)], axis=0
-        )
-    valid_np = np.concatenate(
-        [np.ones(n, np.float32), np.zeros(n_pad, np.float32)]
+    starts, valid, imp, inv_count = _device_grid_cached(
+        padded_shape, roi, spec.overlap, spec.mode, spec.sigma_scale, spec.sw_batch
     )
-    n_batches = starts_np.shape[0] // spec.sw_batch
-    starts_np = starts_np.reshape(n_batches, spec.sw_batch, 3)
-    valid_np = valid_np.reshape(n_batches, spec.sw_batch)
-
-    imp_np = (
-        constant_importance(roi)
-        if spec.mode == "constant"
-        else gaussian_importance(roi, spec.sigma_scale)
-    )
-    count_np = _count_map_cached(
-        padded_shape, roi, spec.overlap, spec.mode, spec.sigma_scale
-    )
-
-    vol = jnp.asarray(volume)
-    if any(lo or hi for lo, hi in pads):
-        vol = jnp.pad(vol, list(pads) + [(0, 0)])
-
-    acc = _swi_device(
+    out = _swi_device(
         params,
-        vol,
-        jnp.asarray(starts_np),
-        jnp.asarray(valid_np),
-        jnp.asarray(imp_np),
+        jnp.asarray(volume),
+        starts,
+        valid,
+        imp,
+        inv_count,
         apply_fn=apply_fn,
         roi=roi,
         n_classes=n_classes,
         sw_batch=spec.sw_batch,
+        pads=pads,
+        out_shape=spatial,
     )
-    out = acc / jnp.asarray(count_np)[..., None]
-    # crop padding
-    sl = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, spatial))
-    out = out[sl]
     if squeeze:
         out = out[None]
     return out
