@@ -114,6 +114,31 @@ def _open_maybe_gz(path: str) -> BinaryIO:
     return open(path, "rb")
 
 
+def _read_bytes(path: str) -> bytes:
+    """File bytes, gunzipped if needed — native (OpenMP-friendly) zlib path
+    when available, Python gzip otherwise."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:2] != b"\x1f\x8b":
+        return blob
+    # ISIZE footer: uncompressed length mod 2^32 (fine below 4GB volumes)
+    import struct as _struct
+
+    out_size = _struct.unpack("<I", blob[-4:])[0]
+    if out_size:
+        try:
+            from medseg import native
+
+            decoded = native.inflate_gzip(blob, out_size)
+            if decoded is not None:
+                return decoded
+        except Exception:
+            pass
+    import gzip as _gzip
+
+    return _gzip.decompress(blob)
+
+
 def read_nifti(path: str, *, dtype: np.dtype | None = None) -> NiftiImage:
     """Read a ``.nii`` / ``.nii.gz`` volume.
 
@@ -121,8 +146,7 @@ def read_nifti(path: str, *, dtype: np.dtype | None = None) -> NiftiImage:
     Data is returned in on-disk (Fortran spatial) order as (X, Y, Z[, C]),
     matching what the reference pipeline gets from NiBabel's ``get_fdata``.
     """
-    with _open_maybe_gz(path) as f:
-        raw = f.read()
+    raw = _read_bytes(path)
     shape, disk_dtype, vox_offset, slope, inter, affine = _parse_header(raw[:HEADER_SIZE])
     count = int(np.prod(shape))
     offset = int(vox_offset) if vox_offset else HEADER_SIZE + 4

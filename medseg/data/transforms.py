@@ -155,6 +155,24 @@ def _nearest_sample(vol: np.ndarray, coords: np.ndarray) -> np.ndarray:
     return vol[idx[..., 0], idx[..., 1], idx[..., 2]]
 
 
+def _native_resample(data: np.ndarray, matrix: np.ndarray, out_shape, mode: str):
+    """OpenMP resampler from medseg/native; None -> numpy fallback."""
+    try:
+        from medseg import native
+    except Exception:
+        return None
+    squeeze = data.ndim == 3
+    src3 = data[..., None] if squeeze else data
+    src3 = np.ascontiguousarray(src3, dtype=np.float32)
+    if mode == "nearest":
+        out = native.nearest_resample(src3, matrix, out_shape)
+    else:
+        out = native.trilinear_resample(src3, matrix, out_shape)
+    if out is None:
+        return None
+    return out[..., 0] if squeeze else out
+
+
 def respace(
     sample: dict,
     pixdim: Sequence[float] = (1.0, 1.0, 1.0),
@@ -190,20 +208,22 @@ def respace(
         # output voxel -> input voxel coordinate map (affine composition)
         inv_old = np.linalg.inv(affine)
         m = inv_old @ new_affine  # 4x4: new voxel -> old voxel
-        grid = np.stack(
-            np.meshgrid(
-                np.arange(new_shape[0]),
-                np.arange(new_shape[1]),
-                np.arange(new_shape[2]),
-                indexing="ij",
-            ),
-            axis=-1,
-        ).astype(np.float64)
-        coords = grid @ m[:3, :3].T + m[:3, 3]
-        if mode == "nearest":
-            res = _nearest_sample(data, coords)
-        else:
-            res = _trilinear_sample(data, coords).astype(data.dtype)
+        res = _native_resample(data, m[:3, :], new_shape, mode)
+        if res is None:
+            grid = np.stack(
+                np.meshgrid(
+                    np.arange(new_shape[0]),
+                    np.arange(new_shape[1]),
+                    np.arange(new_shape[2]),
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).astype(np.float64)
+            coords = grid @ m[:3, :3].T + m[:3, 3]
+            if mode == "nearest":
+                res = _nearest_sample(data, coords)
+            else:
+                res = _trilinear_sample(data, coords).astype(data.dtype)
         out[key] = np.ascontiguousarray(res)
         out[f"{key}_affine"] = new_affine
     return out
