@@ -168,6 +168,28 @@ def rand_rotate90(
     return out
 
 
+def rand_scale_intensity(
+    sample: dict,
+    *,
+    factors: float = 0.1,
+    prob: float = 0.1,
+    rng: np.random.Generator,
+    keys: Sequence[str] = ("image",),
+) -> dict:
+    """RandScaleIntensityd: multiply by (1 + U(-factors, factors)) with prob.
+
+    Part of the reference's import surface (`unetr_segmentation_3d.py:26`,
+    imported though unused in its final CT chain); provided for completeness.
+    """
+    if rng.random() >= prob:
+        return sample
+    factor = 1.0 + float(rng.uniform(-factors, factors))
+    out = dict(sample)
+    for key in keys:
+        out[key] = out[key] * np.float32(factor)
+    return out
+
+
 def rand_shift_intensity(
     sample: dict,
     *,

@@ -180,11 +180,16 @@ def _fwd(x, kernel):
 
 
 def _bwd(res, g):
-    # Backward through the mathematically-identical XLA conv: correct by
-    # construction; the backward pass is not the inference hot path.
+    # Backward through the mathematically-identical XLA conv in fp32
+    # (correct by construction; XLA's conv transpose rules don't handle
+    # mixed-precision cotangents with preferred_element_type), cast back to
+    # the parameter dtypes. Not the inference hot path.
     x, kernel = res
-    _, vjp = jax.vjp(_xla_conv, x, kernel)
-    return vjp(g)
+    _, vjp = jax.vjp(
+        _xla_conv, x.astype(jnp.float32), kernel.astype(jnp.float32)
+    )
+    dx, dk = vjp(g.astype(jnp.float32))
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
 
 
 conv3x3x3.defvjp(_fwd, _bwd)

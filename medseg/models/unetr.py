@@ -57,6 +57,7 @@ class UNETR(nn.Module):
     conv_block: bool = False
     dropout_rate: float = 0.0
     dtype: Dtype | None = None
+    remat: bool = False  # checkpoint encoder/decoder stages (training memory)
 
     def setup(self):
         if not 0 <= self.dropout_rate <= 1:
@@ -73,22 +74,26 @@ class UNETR(nn.Module):
             patch_size=p,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
+            remat=self.remat,
         )
         fs = self.feature_size
-        self.encoder1 = UnetrBasicBlock(fs, res_block=self.res_block, dtype=self.dtype)
-        self.encoder2 = UnetrPrUpBlock(
+        basic = nn.remat(UnetrBasicBlock) if self.remat else UnetrBasicBlock
+        prup = nn.remat(UnetrPrUpBlock) if self.remat else UnetrPrUpBlock
+        up = nn.remat(UnetrUpBlock) if self.remat else UnetrUpBlock
+        self.encoder1 = basic(fs, res_block=self.res_block, dtype=self.dtype)
+        self.encoder2 = prup(
             fs * 2, num_layer=2, conv_block=self.conv_block, res_block=self.res_block, dtype=self.dtype
         )
-        self.encoder3 = UnetrPrUpBlock(
+        self.encoder3 = prup(
             fs * 4, num_layer=1, conv_block=self.conv_block, res_block=self.res_block, dtype=self.dtype
         )
-        self.encoder4 = UnetrPrUpBlock(
+        self.encoder4 = prup(
             fs * 8, num_layer=0, conv_block=self.conv_block, res_block=self.res_block, dtype=self.dtype
         )
-        self.decoder5 = UnetrUpBlock(fs * 8, res_block=self.res_block, dtype=self.dtype)
-        self.decoder4 = UnetrUpBlock(fs * 4, res_block=self.res_block, dtype=self.dtype)
-        self.decoder3 = UnetrUpBlock(fs * 2, res_block=self.res_block, dtype=self.dtype)
-        self.decoder2 = UnetrUpBlock(fs, res_block=self.res_block, dtype=self.dtype)
+        self.decoder5 = up(fs * 8, res_block=self.res_block, dtype=self.dtype)
+        self.decoder4 = up(fs * 4, res_block=self.res_block, dtype=self.dtype)
+        self.decoder3 = up(fs * 2, res_block=self.res_block, dtype=self.dtype)
+        self.decoder2 = up(fs, res_block=self.res_block, dtype=self.dtype)
         self.out = UnetOutBlock(self.out_channels, dtype=self.dtype)
 
     def proj_feat(self, tokens: jax.Array) -> jax.Array:
@@ -140,7 +145,9 @@ class UNETR(nn.Module):
         return logits
 
 
-def unetr_b16(in_channels: int, out_channels: int, crop_size: int, dtype=None) -> UNETR:
+def unetr_b16(
+    in_channels: int, out_channels: int, crop_size: int, dtype=None, remat: bool = False
+) -> UNETR:
     """The one configuration every reference run uses: ViT-B, feature_size 16
     (`/root/reference/unetr_segmentation_3d.py:501-513`)."""
     return UNETR(
@@ -154,4 +161,5 @@ def unetr_b16(in_channels: int, out_channels: int, crop_size: int, dtype=None) -
         res_block=True,
         dropout_rate=0.0,
         dtype=dtype,
+        remat=remat,
     )

@@ -147,11 +147,13 @@ class ViT3D(nn.Module):
     patch_size: int = 16
     dropout_rate: float = 0.0
     dtype: Dtype | None = None
+    remat: bool = False  # rematerialize each block in the backward pass
 
     @nn.compact
     def __call__(
         self, x: jax.Array, *, deterministic: bool = True
     ) -> tuple[jax.Array, list[jax.Array]]:
+        block_cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
         tokens = PatchEmbed3D(
             hidden_size=self.hidden_size,
             patch_size=self.patch_size,
@@ -161,7 +163,7 @@ class ViT3D(nn.Module):
         )(x, deterministic=deterministic)
         hidden_states = []
         for i in range(self.num_layers):
-            tokens = TransformerBlock(
+            tokens = block_cls(
                 self.hidden_size,
                 self.mlp_dim,
                 self.num_heads,

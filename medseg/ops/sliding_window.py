@@ -269,3 +269,110 @@ def sliding_window_inference(
     if squeeze:
         out = out[None]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sharded sliding-window inference: context parallelism over the window grid
+# ---------------------------------------------------------------------------
+
+def sliding_window_inference_sharded(
+    params,
+    volume,
+    apply_fn: Callable,
+    n_classes: int,
+    spec: SlidingWindowSpec,
+    mesh,
+) -> jax.Array:
+    """Whole-volume inference with the window grid sharded across the mesh.
+
+    SURVEY.md §5 "long context" row: the reference's substitute for long-
+    context scaling is sliding-window inference; beyond single-chip parity the
+    TPU-native scale-out shards the window grid over the ``data`` mesh axis —
+    each chip predicts its subset of windows into a local accumulator and one
+    ``psum`` over ICI merges them. Embarrassingly parallel (no halo exchange:
+    windows overlap only in the accumulator).
+
+    Semantics identical to `sliding_window_inference`.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    squeeze = False
+    if volume.ndim == 5:
+        volume = volume[0]
+        squeeze = True
+    spatial = tuple(int(s) for s in volume.shape[:3])
+    roi = tuple(spec.roi)
+    pads = tuple(_pad_amounts(spatial, roi, spec.bucket_multiple))
+    padded_shape = tuple(s + lo + hi for s, (lo, hi) in zip(spatial, pads))
+
+    n_dev = mesh.shape["data"]
+    starts_np = compute_window_starts(padded_shape, roi, spec.overlap)
+    n = starts_np.shape[0]
+    chunk = spec.sw_batch * n_dev
+    n_pad = (-n) % chunk
+    if n_pad:
+        starts_np = np.concatenate(
+            [starts_np, np.zeros((n_pad, 3), dtype=np.int32)], axis=0
+        )
+    valid_np = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
+    n_batches = starts_np.shape[0] // spec.sw_batch
+    starts = jnp.asarray(starts_np.reshape(n_batches, spec.sw_batch, 3))
+    valid = jnp.asarray(valid_np.reshape(n_batches, spec.sw_batch))
+    imp = jnp.asarray(
+        constant_importance(roi)
+        if spec.mode == "constant"
+        else gaussian_importance(roi, spec.sigma_scale)
+    )
+    inv_count = jnp.asarray(
+        1.0
+        / _count_map_cached(padded_shape, roi, spec.overlap, spec.mode, spec.sigma_scale)
+    )
+
+    vol = jnp.asarray(volume)
+    if any(lo or hi for lo, hi in pads):
+        vol = jnp.pad(vol, list(pads) + [(0, 0)])
+
+    rd, rh, rw = roi
+    c = vol.shape[-1]
+
+    def local_accumulate(params, vol, starts_l, valid_l, imp):
+        acc = jnp.zeros(vol.shape[:3] + (n_classes,), dtype=jnp.float32)
+        impx = imp[..., None]
+
+        def gather(start):
+            return jax.lax.dynamic_slice(
+                vol, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
+            )
+
+        def step(acc, batch):
+            st, va = batch
+            windows = jax.vmap(gather)(st)
+            logits = apply_fn(params, windows).astype(jnp.float32)
+            weighted = logits * impx[None] * va[:, None, None, None, None]
+
+            def scatter(i, a):
+                s = st[i]
+                idx = (s[0], s[1], s[2], 0)
+                cur = jax.lax.dynamic_slice(a, idx, (rd, rh, rw, n_classes))
+                return jax.lax.dynamic_update_slice(a, cur + weighted[i], idx)
+
+            return jax.lax.fori_loop(0, spec.sw_batch, scatter, acc), None
+
+        acc, _ = jax.lax.scan(step, acc, (starts_l, valid_l))
+        return jax.lax.psum(acc, "data")
+
+    sharded = shard_map(
+        local_accumulate,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    acc = jax.jit(sharded)(params, vol, starts, valid, imp)
+    out = acc * inv_count[..., None]
+    sl = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, spatial))
+    out = out[sl]
+    if squeeze:
+        out = out[None]
+    return out

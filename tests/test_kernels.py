@@ -66,6 +66,8 @@ def test_conv3x3x3_cpu_path_and_grads(rng):
 
 def test_flat_supported_gating():
     assert flat_supported((8, 96, 96, 96, 16), 16)
-    assert flat_supported((1, 128, 128, 128, 16), 16)
+    # 128^3 folds to 256 lanes/row (51% occupancy) — currently routed to XLA
+    # until the kernel is profiled at that occupancy
+    assert not flat_supported((1, 128, 128, 128, 16), 16)
     assert not flat_supported((1, 96, 96, 96, 1), 16)  # C=1 unaligned
     assert not flat_supported((1, 96, 96, 96, 16), 13)  # CO unaligned

@@ -103,3 +103,26 @@ def test_sharded_batch_spans_devices(rng):
     xs = shard_batch(mesh, {"x": x})["x"]
     assert len(xs.addressable_shards) == 8
     assert xs.addressable_shards[0].data.shape == (1, 4)
+
+
+def test_sharded_sliding_window_matches_single_device(rng):
+    """Window-grid context parallelism: 8-way sharded SWI == single-device SWI."""
+    import jax.numpy as jnp
+    from medseg.ops.sliding_window import (
+        SlidingWindowSpec,
+        sliding_window_inference,
+        sliding_window_inference_sharded,
+    )
+
+    def voxelwise_apply(params, windows):
+        return jnp.einsum("bdhwc,ck->bdhwk", windows, params)
+
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=2, mode="gaussian")
+    ref = sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec)
+    mesh = make_mesh()
+    got = sliding_window_inference_sharded(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec, mesh
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
