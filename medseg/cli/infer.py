@@ -1,0 +1,117 @@
+"""Serving CLI: whole-volume segmentation inference to NIfTI masks.
+
+The reference has no standalone inference entry point (predictions only
+materialize inside its visualization block, `unetr_segmentation_3d.py:687-723`);
+this driver is the production serving path the rebuild adds: load a
+checkpoint (orbax dir or reference ``.pth``), run compiled sliding-window
+inference over a Decathlon ``imagesTs``/``imagesTr`` list or explicit files,
+and write label-map NIfTIs resampled metadata intact.
+
+    python -m medseg.cli.infer DATA_DIR DATASET_NAME CHECKPOINT OUT_DIR N_CLASSES \
+        [--sw-overlap 0.5] [--sw-mode gaussian] [--bf16] [--fast-path]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medseg.cli.common import apply_overrides, build_model, resolve_datalist
+from medseg.config import preset
+from medseg.data import transforms as T
+from medseg.data.dataset import load_decathlon_datalist
+from medseg.data.nifti import write_nifti
+from medseg.data.pipelines import val_transforms
+from medseg.engine.checkpoint import CheckpointManager, load_torch_checkpoint
+from medseg.engine.evaluate import Validator
+from medseg.engine.state import create_train_state
+from medseg.ops.sliding_window import SlidingWindowSpec
+from medseg.utils.profiling import Throughput
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("data_dir", type=str)
+    p.add_argument("dataset_name", type=str)
+    p.add_argument("checkpoint", type=str)
+    p.add_argument("out_dir", type=str)
+    p.add_argument("n_classes", type=int)
+    p.add_argument("--list-key", type=str, default="training",
+                   help="dataset.json list to read (training/test)")
+    p.add_argument("--sw-overlap", type=float, default=0.25)
+    p.add_argument("--sw-mode", type=str, default="constant", choices=["constant", "gaussian"])
+    p.add_argument("--sw-batch", type=int, default=8)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fast-path", action="store_true", help="fused Pallas serving forward")
+    # model-size overrides
+    p.add_argument("--crop-size", type=int, default=None)
+    p.add_argument("--feature-size", type=int, default=16)
+    p.add_argument("--hidden-size", type=int, default=768)
+    p.add_argument("--mlp-dim", type=int, default=3072)
+    p.add_argument("--num-heads", type=int, default=12)
+    p.add_argument("--num-layers", type=int, default=12)
+    p.add_argument("--num-workers", type=int, default=4)
+    return p
+
+
+def main(argv=None) -> list[str]:
+    args = build_parser().parse_args(argv)
+    cfg = apply_overrides(preset(args.dataset_name, args.n_classes), args)
+    model = build_model(args, cfg, remat=False)
+
+    json_path = os.path.join(args.data_dir, args.dataset_name, "dataset.json")
+    datalist = load_decathlon_datalist(json_path, True, args.list_key)
+
+    crop = cfg.model.crop_size
+    sample = jnp.zeros((1, crop, crop, crop, cfg.model.in_channels), jnp.float32)
+    state = create_train_state(
+        model, rng=jax.random.key(0), sample_input=sample,
+        learning_rate=1e-4, weight_decay=1e-5,
+    )
+    if args.checkpoint.endswith((".pth", ".pt")):
+        params = load_torch_checkpoint(args.checkpoint, state.params)
+    else:
+        params = CheckpointManager(args.checkpoint).restore(state).params
+
+    spec = SlidingWindowSpec(
+        roi=(crop,) * 3, overlap=args.sw_overlap, sw_batch=args.sw_batch,
+        mode=args.sw_mode, bucket_multiple=32,
+    )
+    validator = Validator(
+        model, args.n_classes, cfg.data.task, spec, use_fast_path=args.fast_path
+    )
+    chain = val_transforms(cfg.data)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    written = []
+    tp = Throughput()
+    for entry in datalist:
+        sample_dict = chain({"image": entry["image"]})
+        image = jnp.asarray(sample_dict["image"])
+        t0 = time.perf_counter()
+        mask = validator.predict_mask(params, image)
+        if cfg.data.task == "ct":
+            label_map = np.asarray(jnp.argmax(mask, axis=-1)).astype(np.int16)
+        else:
+            from medseg.ops.post import multichannel_to_label_map
+
+            label_map = np.asarray(multichannel_to_label_map(mask)).astype(np.int16)
+        tp.update(1)
+        name = os.path.basename(entry["image"]).replace(".nii", "_pred.nii")
+        out_path = os.path.join(args.out_dir, name)
+        write_nifti(out_path, label_map, sample_dict.get("image_affine"))
+        written.append(out_path)
+        print(
+            f"{entry['image']} -> {out_path} "
+            f"({time.perf_counter() - t0:.2f}s, {tp.rate:.3f} vol/s)"
+        )
+    return written
+
+
+if __name__ == "__main__":
+    main()

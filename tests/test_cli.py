@@ -132,3 +132,32 @@ def test_pretrain_then_finetune_handoff(tmp_path):
     assert np.isfinite(results[0]["dice"])
     # ranking-pretrained output dir gets the suffix (seg :299-302)
     assert os.path.isdir(str(tmp_path / "results_seg_pretrained_ranking"))
+
+
+@pytest.mark.slow
+def test_infer_cli_writes_predictions(tmp_path):
+    """Serving path: checkpoint -> sliding-window inference -> NIfTI masks."""
+    from medseg.cli.infer import main as infer_main
+    from medseg.cli.segmentation import main as seg_main
+    from medseg.data.nifti import read_nifti
+
+    data_dir = make_dataset(tmp_path, n=3)
+    out_root = str(tmp_path / "results")
+    seg_main(
+        [
+            data_dir, "TinyCT", out_root, "2", "", "train", "1e6", "1e-3",
+            "--folds", "2", "--max-folds", "1",
+            "--max-iterations", "1", "--eval-num", "1",
+        ]
+        + TINY
+    )
+    ckpt = os.path.join(out_root, "TinyCT_0", "checkpoints")
+    pred_dir = str(tmp_path / "preds")
+    written = infer_main(
+        [data_dir, "TinyCT", ckpt, pred_dir, "2"] + TINY
+    )
+    assert len(written) == 3
+    for path in written:
+        img = read_nifti(path)
+        assert img.data.shape == (36, 36, 36)
+        assert set(np.unique(img.data)).issubset({0, 1})
