@@ -45,8 +45,15 @@ def main() -> None:
     x_init = jnp.zeros((SW_BATCH, ROI, ROI, ROI, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), x_init)
 
-    def apply_fn(p, windows):
-        return model.apply(p, windows, return_encoder_features=False)
+    import os
+    if os.environ.get("BENCH_FAST", "0") == "1":
+        from medseg.kernels.fast_unetr import fast_apply
+
+        def apply_fn(p, windows):
+            return fast_apply(model, p, windows)
+    else:
+        def apply_fn(p, windows):
+            return model.apply(p, windows, return_encoder_features=False)
 
     spec = SlidingWindowSpec(
         roi=(ROI,) * 3, overlap=OVERLAP, sw_batch=SW_BATCH, mode="gaussian"
