@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-heads", type=int, default=12)
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="volumes per step (crops multiply this; reference uses 1)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the crop batch over all devices (config 5 path)")
     p.add_argument("--sw-overlap", type=float, default=0.25)
     p.add_argument("--sw-mode", type=str, default="constant", choices=["constant", "gaussian"])
     return p
@@ -90,13 +94,39 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
     rng_np = np.random.default_rng(args.seed + fold_idx)
     train_ds = CacheDataset(train_list, transform=train_transforms(cfg.data, rng_np))
     val_ds = CacheDataset(val_list, transform=val_transforms(cfg.data))
+
+    mesh = None
+    put = device_put_batch
+    if args.data_parallel and jax.device_count() > 1:
+        from medseg.parallel.mesh import make_mesh, shard_batch
+
+        crops_per_step = args.batch_size * cfg.data.num_crop_samples
+        if crops_per_step % jax.device_count() == 0:
+            mesh = make_mesh()
+            logger.write(
+                f"data-parallel over {jax.device_count()} devices "
+                f"({crops_per_step} crops/step)"
+            )
+
+            def put(batch):
+                arrays = {
+                    k: v for k, v in batch.items()
+                    if isinstance(v, np.ndarray) and v.dtype != object
+                }
+                return shard_batch(mesh, arrays)
+        else:
+            logger.write(
+                f"data-parallel requested but {crops_per_step} crops/step "
+                f"not divisible by {jax.device_count()} devices; running single-device"
+            )
+
     train_loader = DataLoader(
         train_ds,
-        batch_size=1,
+        batch_size=args.batch_size,
         shuffle=True,
         num_workers=cfg.data.num_workers,
         seed=args.seed,
-        device_put=device_put_batch,
+        device_put=put,
     )
     val_loader = DataLoader(
         val_ds, batch_size=1, shuffle=False, num_workers=cfg.data.num_workers
@@ -111,6 +141,13 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
         learning_rate=args.learning_rate,
         weight_decay=1e-5,
     )
+    if mesh is not None:
+        from medseg.parallel.mesh import replicate
+
+        state = state.replace(
+            params=replicate(mesh, state.params),
+            opt_state=replicate(mesh, state.opt_state),
+        )
     if args.pretrained and os.path.exists(args.pretrained):
         logger.write(f"loading pretrained weights: {args.pretrained}")
         if args.pretrained.endswith((".pth", ".pt")):

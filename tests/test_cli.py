@@ -161,3 +161,21 @@ def test_infer_cli_writes_predictions(tmp_path):
         img = read_nifti(path)
         assert img.data.shape == (36, 36, 36)
         assert set(np.unique(img.data)).issubset({0, 1})
+
+
+@pytest.mark.slow
+def test_segmentation_cli_data_parallel(tmp_path):
+    """Config-5 path: crop batch sharded over the 8-device virtual mesh."""
+    from medseg.cli.segmentation import main
+
+    data_dir = make_dataset(tmp_path, n=4)
+    results = main(
+        [
+            data_dir, "TinyCT", str(tmp_path / "results_dp"), "2", "", "train",
+            "1e6", "1e-3", "--folds", "2", "--max-folds", "1",
+            "--max-iterations", "1", "--eval-num", "1",
+            "--batch-size", "2", "--data-parallel",
+        ]
+        + TINY
+    )
+    assert np.isfinite(results[0]["dice"])
