@@ -99,6 +99,7 @@ def main() -> None:
         f"{n_windows / per_volume:.1f} windows/sec), out {out.shape} {out.dtype}",
         file=sys.stderr,
     )
+    _train_throughput_info(model.__class__)
     print(
         json.dumps(
             {
@@ -109,6 +110,40 @@ def main() -> None:
             }
         )
     )
+
+
+def _train_throughput_info(_unused) -> None:
+    """Secondary metric (stderr): training patches/sec, fwd+bwd+AdamW."""
+    try:
+        from medseg.engine.state import create_train_state
+        from medseg.engine.train import make_train_step
+        from medseg.models.unetr import unetr_b16
+
+        model = unetr_b16(1, N_CLASSES, ROI, dtype=jnp.bfloat16, remat=True)
+        batch = 4
+        img = jax.random.normal(jax.random.key(2), (batch, ROI, ROI, ROI, 1), jnp.float32)
+        lab = jax.random.randint(jax.random.key(3), (batch, ROI, ROI, ROI), 0, N_CLASSES)
+        state = create_train_state(
+            model, rng=jax.random.key(0), sample_input=img[:1],
+            learning_rate=1e-4, weight_decay=1e-5,
+        )
+        step = make_train_step(model, task="ct", donate=True)
+        b = {"image": img, "label": lab}
+        state, loss = step(state, b)
+        float(loss)
+        n = 6
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = step(state, b)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n
+        print(
+            f"train: {dt*1000:.0f} ms/step, {batch/dt:.2f} patches/sec "
+            f"(bf16+remat, batch {batch}, {ROI}^3, {N_CLASSES} classes)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # keep the primary metric robust
+        print(f"train throughput info failed: {e}", file=sys.stderr)
 
 
 def _count_windows() -> int:

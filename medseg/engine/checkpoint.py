@@ -50,11 +50,12 @@ class CheckpointManager:
         }
         self._ckpt.save(path, tree, force=True)
         self._ckpt.wait_until_finished()
-        meta = {"step": int(state.step)}
-        if metrics:
-            meta.update({k: float(v) for k, v in metrics.items()})
-        with open(self._meta_path(), "w") as f:
-            json.dump(meta, f)
+        if name == "best":  # sidecar metadata tracks the best checkpoint only
+            meta = {"step": int(state.step)}
+            if metrics:
+                meta.update({k: float(v) for k, v in metrics.items()})
+            with open(self._meta_path(), "w") as f:
+                json.dump(meta, f)
         return path
 
     def exists(self, name: str = "best") -> bool:

@@ -81,6 +81,7 @@ class TrainLoop:
         validator: Callable[[TrainState], float] | None = None,
         checkpointer=None,
         log_fn: Callable[[str], None] = print,
+        save_latest_every: int | None = None,
     ) -> None:
         self.train_step = train_step
         self.max_iterations = max_iterations
@@ -88,6 +89,10 @@ class TrainLoop:
         self.validator = validator
         self.checkpointer = checkpointer
         self.log_fn = log_fn
+        # elastic-recovery cadence: periodically persist the FULL train state
+        # under "latest" regardless of metric (reference only saves on metric
+        # improvement and loses optimizer state; SURVEY.md §5)
+        self.save_latest_every = save_latest_every
         self.loss_history: list[float] = []
         self.metric_history: list[float] = []
         self.best_metric: float = -1.0
@@ -107,6 +112,12 @@ class TrainLoop:
             self.running_time += time.perf_counter() - t0
             self.loss_history.append(loss)
             global_step += 1
+            if (
+                self.save_latest_every
+                and self.checkpointer is not None
+                and global_step % self.save_latest_every == 0
+            ):
+                self.checkpointer.save(state, name="latest")
             if (
                 global_step % self.eval_num == 0 or global_step == self.max_iterations
             ) and self.validator is not None:

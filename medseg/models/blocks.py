@@ -29,6 +29,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -139,6 +140,9 @@ class ConvTranspose3d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = self.kernel_size
+        # NOTE: an einsum + depth-to-space formulation of k2s2 conv-transpose
+        # was measured on v5e and did NOT beat XLA's lowering at any stage
+        # (docs/PERF_NOTES.md); keeping the plain op.
         return nn.ConvTranspose(
             features=self.features,
             kernel_size=(k, k, k),
