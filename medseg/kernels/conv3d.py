@@ -52,14 +52,28 @@ def _wp(w: int) -> int:
 
 
 def flat_supported(x_shape: Sequence[int], c_out: int) -> bool:
+    """Route to Pallas where it measures faster than XLA's conv (v5e, chained
+    device times incl. layout round-trips — docs/PERF_NOTES.md):
+
+    | shape              | pallas | xla  |
+    | 96^3 16->16        |  7.6ms | 15.8 |
+    | 96^3 32->16        | 23.6   | 69.2 |
+    | 48^3 64->32        |  8.8   | 34.1 |
+    | 48^3 32->32        |  6.2   |  5.0 |  -> XLA
+    | 24^3 128->64/64->64|  3-4   |  ~2  |  -> XLA
+
+    Rule: spatial >= 48 AND (channel-reducing conv, or square conv at high
+    lane occupancy). XLA's im2col cost scales with C_in (27x re-read), so
+    channel-reducing convs are where it loses hardest.
+    """
     b, d, h, w, c = x_shape
     if c % 8 != 0 or c > 128 or c_out > 128 or c_out % 8 != 0:
         return False
+    if w < 48:
+        return False
     wp = _wp(w)
-    # lane occupancy: at low resolutions (24^3/48^3 stages) most of the
-    # 128-lane y-block is padding and XLA's conv wins — route only
-    # high-occupancy shapes (96^3, 128^3 stages) through Pallas
-    if (w + 2) / wp < 0.7:
+    occupancy = (w + 2) / wp
+    if not (c > c_out or (c == c_out and occupancy >= 0.7)):
         return False
     lanes = (h + 2) * wp
     # per-step VMEM: 3 input rows + patches + fp32 out, double-buffered rows
@@ -152,11 +166,17 @@ def _xla_conv(x, kernel):
     )
 
 
-# Per-conv Pallas routing is OFF by default: the NDHWC<->flat-lane layout
-# round-trip (~6.5ms at 8x96^3) eats the kernel's win when applied one conv at
-# a time. The block-level fusion (medseg/kernels/blocks_flat.py) converts once
-# per residual block instead and uses conv3x3x3_flat directly.
-PALLAS_PER_CONV = False
+# Per-conv Pallas routing. The chained device-time table above (which INCLUDES
+# the NDHWC<->flat round trips) says per-conv routing should win 2-4x on the
+# routed shapes — and it does standalone and in the full-model forward — but
+# inside the sliding-window program the gains vanish (equal at small volumes,
+# REGRESSION at 512^3-scale, where the 2.75GB accumulator + pallas's extra
+# buffers create HBM allocation pressure). Until that interaction is fixed
+# (docs/PERF_NOTES.md round-2 plan), routing defaults OFF and can be enabled
+# with MEDSEG_PALLAS_CONV=1 (training: neutral; standalone inference: faster).
+import os as _os
+
+PALLAS_PER_CONV = _os.environ.get("MEDSEG_PALLAS_CONV", "0") == "1"
 
 
 @jax.custom_vjp

@@ -196,11 +196,21 @@ def _swi_device(
             volume, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
         )
 
+    def gather_inv(start):
+        # fold the 1/count normalization into the scatter: saves a separate
+        # full-volume fp32 pass (and its 2.3GB temporary at 512^3-scale)
+        return jax.lax.dynamic_slice(inv_count, (start[0], start[1], start[2]), (rd, rh, rw))
+
     def step(acc, batch):
         starts_b, valid_b = batch  # (sw_batch, 3), (sw_batch,)
         windows = jax.vmap(gather)(starts_b)  # (sw_batch, rd, rh, rw, C)
+        inv_w = jax.vmap(gather_inv)(starts_b)  # (sw_batch, rd, rh, rw)
         logits = apply_fn(params, windows).astype(jnp.float32)
-        weighted = logits * imp[None] * valid_b[:, None, None, None, None]
+        weighted = (
+            logits
+            * (imp[None] * inv_w[..., None])
+            * valid_b[:, None, None, None, None]
+        )
 
         def scatter(i, a):
             s = starts_b[i]
@@ -212,7 +222,6 @@ def _swi_device(
         return acc, None
 
     acc, _ = jax.lax.scan(step, acc, (starts, valid))
-    acc = acc * inv_count[..., None]
     # crop the padding off inside the same program
     begin = tuple(lo for lo, _ in pads) + (0,)
     return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,))
