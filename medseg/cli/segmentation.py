@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=1,
                    help="volumes per step (crops multiply this; reference uses 1)")
+    p.add_argument("--device-augment", action="store_true",
+                   help="run flip/rot90/shift augmentations on device inside the train step")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the crop batch over all devices (config 5 path)")
     p.add_argument("--sw-overlap", type=float, default=0.25)
@@ -92,7 +94,10 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
     model = build_model(args, cfg)
 
     rng_np = np.random.default_rng(args.seed + fold_idx)
-    train_ds = CacheDataset(train_list, transform=train_transforms(cfg.data, rng_np))
+    train_ds = CacheDataset(
+        train_list,
+        transform=train_transforms(cfg.data, rng_np, augment=not args.device_augment),
+    )
     val_ds = CacheDataset(val_list, transform=val_transforms(cfg.data))
 
     mesh = None
@@ -177,7 +182,9 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
 
     if args.mode == "train":
         loop = TrainLoop(
-            make_train_step(model, task=cfg.data.task),
+            make_train_step(
+                model, task=cfg.data.task, device_augment=args.device_augment
+            ),
             max_iterations=args.max_iterations,
             eval_num=args.eval_num,
             validator=lambda s: validator(

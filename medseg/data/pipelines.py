@@ -80,7 +80,9 @@ def _mri_deterministic(cfg: DataConfig):
     ]
 
 
-def ct_train_transforms(cfg: DataConfig, rng: np.random.Generator) -> T.Compose:
+def ct_train_transforms(
+    cfg: DataConfig, rng: np.random.Generator, augment: bool = True
+) -> T.Compose:
     crop = partial(
         rand_crop_by_pos_neg_label,
         spatial_size=(cfg.crop_size,) * 3,
@@ -90,7 +92,7 @@ def ct_train_transforms(cfg: DataConfig, rng: np.random.Generator) -> T.Compose:
         image_threshold=0.0,
         rng=rng,
     )
-    augs = _augmentations(cfg, rng)
+    augs = _augmentations(cfg, rng) if augment else []
     return T.Compose(
         _ct_deterministic(cfg) + [lambda s: _apply_each(crop(s), augs)]
     )
@@ -100,7 +102,9 @@ def ct_val_transforms(cfg: DataConfig) -> T.Compose:
     return T.Compose(_ct_deterministic(cfg))
 
 
-def mri_train_transforms(cfg: DataConfig, rng: np.random.Generator) -> T.Compose:
+def mri_train_transforms(
+    cfg: DataConfig, rng: np.random.Generator, augment: bool = True
+) -> T.Compose:
     crop = partial(
         rand_crop_by_pos_neg_label,
         spatial_size=(cfg.crop_size,) * 3,
@@ -110,7 +114,7 @@ def mri_train_transforms(cfg: DataConfig, rng: np.random.Generator) -> T.Compose
         image_threshold=0.0,
         rng=rng,
     )
-    augs = _augmentations(cfg, rng) + [T.normalize_intensity]  # normalize LAST (:456)
+    augs = (_augmentations(cfg, rng) if augment else []) + [T.normalize_intensity]  # normalize LAST (:456)
     return T.Compose(
         _mri_deterministic(cfg) + [lambda s: _apply_each(crop(s), augs)]
     )
@@ -141,11 +145,15 @@ def pretrain_transforms(
     return T.Compose(prefix + [lambda s: _apply_each(crop(s), augs)])
 
 
-def train_transforms(cfg: DataConfig, rng: np.random.Generator) -> T.Compose:
+def train_transforms(
+    cfg: DataConfig, rng: np.random.Generator, augment: bool = True
+) -> T.Compose:
+    """``augment=False`` leaves random flips/rot/shift to the device-side
+    pipeline (medseg/ops/augment.py via ``make_train_step(device_augment=True)``)."""
     return (
-        ct_train_transforms(cfg, rng)
+        ct_train_transforms(cfg, rng, augment)
         if cfg.task == "ct"
-        else mri_train_transforms(cfg, rng)
+        else mri_train_transforms(cfg, rng, augment)
     )
 
 

@@ -30,12 +30,18 @@ def make_train_step(
     *,
     task: str = "ct",
     donate: bool = True,
+    device_augment: bool = False,
 ) -> Callable[[TrainState, dict], tuple[TrainState, jax.Array]]:
     """Build the jitted supervised train step.
 
     ``task="ct"`` -> DiceCE(softmax, one-hot target) per
     `unetr_segmentation_3d.py:404`; ``task="mri"`` -> DiceCE(sigmoid,
     multi-channel target) per `:480`.
+
+    ``device_augment=True`` runs the reference's random flip/rot90/intensity
+    chain ON DEVICE inside this same program (medseg/ops/augment.py) with
+    per-sample keys from the train state's PRNG — use with host augmentations
+    disabled (`pipelines.train_transforms(..., augment=False)`).
     """
     softmax = task == "ct"
 
@@ -52,6 +58,14 @@ def make_train_step(
         )
 
     def step(state: TrainState, image: jax.Array, label: jax.Array):
+        if device_augment:
+            from medseg.ops.augment import augment_batch
+
+            aug_key, new_rng = jax.random.split(state.rng)
+            lab4 = label if label.ndim == 5 else label[..., None]
+            image, lab4 = augment_batch(aug_key, image, lab4.astype(image.dtype))
+            label = lab4 if label.ndim == 5 else lab4[..., 0].astype(label.dtype)
+            state = state.replace(rng=new_rng)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, image, label)
         return state.apply_gradients(grads), loss
 

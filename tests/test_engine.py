@@ -244,3 +244,19 @@ def test_torch_checkpoint_converter(rng):
     # converted weights actually landed (not the template init)
     got = np.asarray(params["params"]["out"]["conv"]["bias"])
     np.testing.assert_allclose(got, sd["out.conv.conv.bias"].numpy(), rtol=1e-6)
+
+
+def test_train_step_device_augment(rng):
+    """Device-side augmentation path: step runs, loss finite, rng advances."""
+    model = tiny_model()
+    image = jnp.asarray(rng.normal(size=(2, 32, 32, 32, 1)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 2, size=(2, 32, 32, 32)).astype(np.int32))
+    state = create_train_state(
+        model, rng=jax.random.key(5), sample_input=image,
+        learning_rate=1e-3, weight_decay=1e-5,
+    )
+    step = make_train_step(model, task="ct", donate=False, device_augment=True)
+    rng_before = np.asarray(jax.random.key_data(state.rng))
+    state2, loss = step(state, {"image": image, "label": label})
+    assert np.isfinite(float(loss))
+    assert not np.array_equal(np.asarray(jax.random.key_data(state2.rng)), rng_before)
