@@ -13,6 +13,7 @@ from medseg.ops.ranking import (
     bt_ranking_loss,
     info_nce_loss,
 )
+from medseg.ops.augment import augment_batch, scale_intensity_range_device
 from medseg.ops.metrics import (
     DiceAccumulator,
     ConfusionAccumulator,
@@ -41,6 +42,8 @@ __all__ = [
     "triplet_index_table",
     "bt_ranking_loss",
     "info_nce_loss",
+    "augment_batch",
+    "scale_intensity_range_device",
     "DiceAccumulator",
     "ConfusionAccumulator",
     "HausdorffAccumulator",

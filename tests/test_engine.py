@@ -260,3 +260,23 @@ def test_train_step_device_augment(rng):
     state2, loss = step(state, {"image": image, "label": label})
     assert np.isfinite(float(loss))
     assert not np.array_equal(np.asarray(jax.random.key_data(state2.rng)), rng_before)
+
+
+def test_training_determinism(overfit_setup):
+    """SURVEY §4.5: fixed PRNG key -> bit-identical losses across runs."""
+    model, state0, image, label = overfit_setup
+    batch = {"image": jnp.asarray(image), "label": jnp.asarray(label)}
+
+    def run(seed):
+        st = create_train_state(
+            model, rng=jax.random.key(seed), sample_input=batch["image"],
+            learning_rate=1e-3, weight_decay=1e-5,
+        )
+        step = make_train_step(model, task="ct", donate=False)
+        out = []
+        for _ in range(3):
+            st, loss = step(st, batch)
+            out.append(float(loss))
+        return out
+
+    assert run(42) == run(42)
