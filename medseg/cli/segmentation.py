@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the crop batch over all devices (config 5 path)")
     p.add_argument("--sw-overlap", type=float, default=0.25)
     p.add_argument("--sw-mode", type=str, default="constant", choices=["constant", "gaussian"])
+    p.add_argument("--sync-every", type=int, default=1,
+                   help="fetch the loss every N steps (N>1 keeps steps in flight so "
+                        "dispatch/loading/H2D overlap compute; 1 = honest per-step timing)")
+    p.add_argument("--no-progress", action="store_true",
+                   help="disable the tqdm-style live step/loss readout")
     return p
 
 
@@ -167,7 +172,8 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
         roi=(crop,) * 3, overlap=args.sw_overlap, sw_batch=4, mode=args.sw_mode,
         bucket_multiple=32,
     )
-    validator = Validator(model, args.n_classes, cfg.data.task, spec)
+    # when a mesh is present, eval shards the window grid across it
+    validator = Validator(model, args.n_classes, cfg.data.task, spec, mesh=mesh)
 
     def validate_volumes(loader):
         def volume_iter():
@@ -181,6 +187,19 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
         state = ckpt.restore(state)
 
     if args.mode == "train":
+        progress = None
+        if not args.no_progress:
+            from tqdm import tqdm
+
+            bar = tqdm(total=args.max_iterations, dynamic_ncols=True)
+
+            def progress(step, total, loss):
+                # reference tqdm readout (`seg:214-216,228-230`); with async
+                # dispatch no loss has been fetched yet for the first steps
+                tag = "-----" if np.isnan(loss) else f"{loss:2.5f}"
+                bar.set_description(f"Training ({step} / {total} Steps) (loss={tag})")
+                bar.update(step - bar.n)
+
         loop = TrainLoop(
             make_train_step(
                 model, task=cfg.data.task, device_augment=args.device_augment
@@ -192,6 +211,8 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
             ).mean_dice,
             checkpointer=ckpt,
             log_fn=lambda msg: (print(msg), logger.write(msg)),
+            sync_every=args.sync_every,
+            progress=progress,
         )
 
         def batches():
@@ -199,6 +220,8 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
                 yield from train_loader
 
         state = loop.run(state, batches())
+        if progress is not None:
+            bar.close()
         save_metric_series(
             out_dir,
             f"lr_{args.learning_rate}",
@@ -235,11 +258,16 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
         },
     )
 
-    # slice-overlay PDFs for fold 0 (seg :666-723)
+    # slice-overlay PDFs for fold 0 (seg :666-723); the reference renders
+    # overlays from SWI at overlap=0.8 (seg :694-695), not the eval overlap
     if fold_idx == 0 and len(val_ds) > 0:
         sample0 = val_ds[0]
         image = jnp.asarray(sample0["image"])
-        mask = validator.predict_mask(state.params, image)
+        overlay_spec = SlidingWindowSpec(
+            roi=spec.roi, overlap=0.8, sw_batch=spec.sw_batch, mode=spec.mode,
+            bucket_multiple=spec.bucket_multiple,
+        )
+        mask = validator.predict_mask(state.params, image, overlay_spec)
         if cfg.data.task == "ct":
             pred_map = np.asarray(jnp.argmax(mask, axis=-1))
             label_map = np.asarray(sample0["label"][..., 0]).astype(np.int64)

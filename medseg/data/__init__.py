@@ -2,7 +2,9 @@ from medseg.data.nifti import NiftiImage, read_nifti, write_nifti
 from medseg.data.dataset import (
     load_decathlon_datalist,
     kfold_split,
+    partition_dataset_indices,
     CrossValidationFolds,
+    DecathlonDataset,
     ListDataset,
     CacheDataset,
 )
@@ -15,7 +17,9 @@ __all__ = [
     "write_nifti",
     "load_decathlon_datalist",
     "kfold_split",
+    "partition_dataset_indices",
     "CrossValidationFolds",
+    "DecathlonDataset",
     "ListDataset",
     "CacheDataset",
     "DataLoader",

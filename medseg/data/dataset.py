@@ -63,17 +63,37 @@ def kfold_split(n_items: int, n_splits: int = 5):
         current += size
 
 
+def partition_dataset_indices(
+    n: int, num_partitions: int, shuffle: bool = True, seed: int = 0
+) -> list[np.ndarray]:
+    """MONAI 0.6 ``partition_dataset`` fold-membership rule: optionally
+    shuffle indices with ``np.random.RandomState(seed)``, then partition i is
+    the STRIDED slice ``indices[i::num_partitions]`` (NOT contiguous chunks —
+    MONAI's own docstring example: [1,2,3,4,5] / 2 partitions, no shuffle ->
+    [[1,3,5],[2,4]]). This is the rule ``CrossValidation`` applies, so fold
+    membership here matches the reference run-for-run
+    (`unetr_segmentation_3d.py:525-536,570-572`)."""
+    indices = np.arange(n)
+    if shuffle:
+        rs = np.random.RandomState(seed)
+        rs.shuffle(indices)
+    return [indices[i::num_partitions] for i in range(num_partitions)]
+
+
 class CrossValidationFolds:
-    """MONAI ``CrossValidation`` contract: seeded shuffle, then even
-    partition into ``nfolds``; ``get_datalist(folds)`` concatenates folds."""
+    """MONAI ``CrossValidation`` contract: seeded shuffle, then strided
+    partition into ``nfolds`` (``partition_dataset`` semantics);
+    ``get_datalist(folds)`` concatenates the requested folds in order."""
 
     def __init__(self, datalist: Sequence[dict], nfolds: int = 5, seed: int = 12345):
         self.datalist = list(datalist)
         self.nfolds = nfolds
-        indices = np.arange(len(self.datalist))
-        rs = np.random.RandomState(seed)
-        rs.shuffle(indices)
-        self.partitions = [list(p) for p in np.array_split(indices, nfolds)]
+        self.partitions = [
+            list(p)
+            for p in partition_dataset_indices(
+                len(self.datalist), nfolds, shuffle=True, seed=seed
+            )
+        ]
 
     def get_datalist(self, folds) -> list[dict]:
         if isinstance(folds, int):
@@ -130,6 +150,74 @@ class CacheDataset(ListDataset):
         if self.cache_transform:
             sample = self.cache_transform(sample)
         return self.transform(sample) if self.transform else sample
+
+
+class DecathlonDataset(ListDataset):
+    """MONAI ``DecathlonDataset`` layout/section handling
+    (`unetr_segmentation_3d.py:525-536`).
+
+    Expects the MSD on-disk layout ``root_dir/TaskXX_Name/{imagesTr,labelsTr,
+    imagesTs,dataset.json}``. ``section`` selects:
+
+    - "training"/"validation": the "training" datalist split by a seeded
+      index shuffle (``np.random.RandomState(seed)``, seed default 0):
+      the first ``int(len * val_frac)`` shuffled indices are "validation"
+      (val_frac default 0.2), the rest "training" — the MONAI 0.6
+      ``DecathlonDataset._split_datalist`` rule;
+    - "test": the "test" list (bare imagesTs paths -> {"image": path}).
+
+    ``properties`` exposes the dataset.json header fields (labels, modality,
+    tensorImageSize, ...). ``download=True`` is unsupported here (this
+    environment has no egress) — the data must already be on disk.
+
+    Note: under ``CrossValidation`` the reference replaces this split with the
+    fold partition (``CrossValidationFolds``/``partition_dataset_indices``
+    above), exactly as MONAI's ``CrossValidation.get_dataset`` overrides
+    ``_split_datalist``.
+    """
+
+    _PROPERTY_KEYS = (
+        "name", "description", "reference", "licence", "tensorImageSize",
+        "modality", "labels", "numTraining", "numTest",
+    )
+
+    def __init__(
+        self,
+        root_dir: str,
+        task: str,
+        section: str = "training",
+        transform: Callable | None = None,
+        download: bool = False,
+        seed: int = 0,
+        val_frac: float = 0.2,
+    ):
+        task_dir = os.path.join(root_dir, task)
+        json_path = os.path.join(task_dir, "dataset.json")
+        if not os.path.exists(json_path):
+            hint = (
+                " (download=True is not supported in this offline build; place "
+                "the extracted MSD task at this path)"
+                if download
+                else ""
+            )
+            raise FileNotFoundError(f"MSD layout not found: {json_path}{hint}")
+        with open(json_path) as f:
+            meta = json.load(f)
+        self.properties = {k: meta[k] for k in self._PROPERTY_KEYS if k in meta}
+        self.section = section
+        key = "test" if section == "test" else "training"
+        datalist = load_decathlon_datalist(json_path, True, key)
+        super().__init__(self._split_datalist(datalist, seed, val_frac), transform)
+
+    def _split_datalist(self, datalist: list[dict], seed: int, val_frac: float):
+        if self.section == "test":
+            return datalist
+        indices = np.arange(len(datalist))
+        rs = np.random.RandomState(seed)
+        rs.shuffle(indices)
+        val_len = int(len(datalist) * val_frac)
+        keep = indices[:val_len] if self.section == "validation" else indices[val_len:]
+        return [datalist[i] for i in keep]
 
 
 def decollate_batch(batch: dict) -> list[dict]:

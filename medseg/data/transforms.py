@@ -65,21 +65,30 @@ def ensure_channel(sample: dict, keys: Sequence[str] = ("image", "label")) -> di
 # ---------------------------------------------------------------------------
 
 def _io_orientation(affine: np.ndarray):
-    """Axis/flip map from a voxel->world affine (nibabel io_orientation
-    contract): for each data axis, the dominant world axis and its sign."""
-    rot = affine[:3, :3]
-    zooms = np.linalg.norm(rot, axis=0)
+    """Axis/flip map from a voxel->world affine — nibabel ``io_orientation``'s
+    exact algorithm (MONAI 0.6 ``Orientationd`` delegates to it): normalize
+    the rotation-zoom block by column norms, take the closest shearless
+    (orthogonal) matrix via SVD polar decomposition, then assign each input
+    axis IN ORDER to the output axis of largest |component|, zeroing that
+    output row so later input axes can't reuse it. The in-order/zeroing rule
+    (not a global greedy) is what matches nibabel on oblique affines."""
+    rzs = affine[:3, :3]
+    zooms = np.sqrt(np.sum(rzs * rzs, axis=0))
     zooms[zooms == 0] = 1.0
-    normed = rot / zooms
+    rs = rzs / zooms
+    p_mat, s, qs = np.linalg.svd(rs)
+    tol = s.max() * max(rs.shape) * np.finfo(s.dtype).eps
+    keep = s > tol
+    r_mat = np.dot(p_mat[:, keep], qs[keep])
     out = np.zeros((3, 2), dtype=np.int64)
-    remaining = [0, 1, 2]
-    # greedy assignment by strongest alignment
-    order = np.argsort(-np.abs(normed).max(axis=0))
-    for j in order:
-        col = normed[:, j]
-        best = max(remaining, key=lambda i: abs(col[i]))
-        out[j] = (best, 1 if col[best] >= 0 else -1)
-        remaining.remove(best)
+    for in_ax in range(3):
+        col = r_mat[:, in_ax]
+        if np.allclose(col, 0):
+            out[in_ax] = (in_ax, 1)  # degenerate axis: leave in place
+            continue
+        out_ax = int(np.argmax(np.abs(col)))
+        out[in_ax] = (out_ax, -1 if col[out_ax] < 0 else 1)
+        r_mat[out_ax, :] = 0
     return out
 
 
@@ -173,6 +182,49 @@ def _native_resample(data: np.ndarray, matrix: np.ndarray, out_shape, mode: str)
     return out[..., 0] if squeeze else out
 
 
+def _zoom_affine(affine: np.ndarray, pixdim: np.ndarray) -> np.ndarray:
+    """MONAI 0.6 ``zoom_affine(affine, scale, diagonal=False)``: keep the
+    rotation (shear removed via Cholesky polar split rzs = R @ ZS), set the
+    zooms to ``pixdim`` with the original diagonal signs, zero translation."""
+    rzs = affine[:3, :3]
+    zs = np.linalg.cholesky(rzs.T @ rzs).T
+    rotation = rzs @ np.linalg.inv(zs)
+    s = np.sign(np.diag(zs)) * np.abs(pixdim)
+    new_affine = np.eye(4)
+    new_affine[:3, :3] = rotation @ np.diag(s)
+    return new_affine
+
+
+def _compute_shape_offset(
+    spatial_shape, in_affine: np.ndarray, out_affine: np.ndarray
+):
+    """MONAI 0.6 ``compute_shape_offset``: map the 8 input-corner voxel
+    coordinates through in_affine then inv(out_affine); output shape is
+    ``np.round(ptp(corners) + 1)`` per dim (NOT round(in*old/new) — for
+    10 voxels at 1.5mm -> 1mm this gives 14, not 15). The output origin is
+    the world coordinate of the input corner that is minimal in output voxel
+    space; if no single corner is minimal (strongly oblique), center-align."""
+    shape = np.asarray(spatial_shape, dtype=np.float64)
+    corners_v = np.stack(
+        np.meshgrid(*[(0.0, d - 1.0) for d in shape], indexing="ij"), axis=0
+    ).reshape(3, -1)
+    corners_v = np.concatenate([corners_v, np.ones((1, corners_v.shape[1]))])
+    corners_w = in_affine @ corners_v  # world coords (homogeneous)
+    corners_out = np.linalg.inv(out_affine) @ corners_w
+    corners_out = corners_out[:-1] / corners_out[-1]
+    out_shape = np.round(np.ptp(corners_out, axis=1) + 1.0)
+    offset = None
+    for i in range(corners_w.shape[1]):
+        min_corner = np.min(corners_out - corners_out[:, i : i + 1], axis=1)
+        if np.allclose(min_corner, 0.0, rtol=1e-3):
+            offset = corners_w[:-1, i]
+            break
+    if offset is None:  # center-aligned fallback
+        center_out = out_affine[:3, :3] @ ((out_shape - 1.0) / 2.0)
+        offset = corners_w[:-1].mean(axis=1) - center_out
+    return out_shape.astype(np.int64), offset
+
+
 def respace(
     sample: dict,
     pixdim: Sequence[float] = (1.0, 1.0, 1.0),
@@ -181,9 +233,13 @@ def respace(
 ) -> dict:
     """Spacingd: resample to isotropic voxel spacing.
 
-    Output shape per dim = ceil(extent_in_mm / new_spacing) + 1 voxels along
-    the world axes implied by the (already RAS) affine; image trilinear,
-    label nearest (`unetr_segmentation_3d.py:326-330`).
+    Exact MONAI 0.6 ``Spacing`` semantics (`unetr_segmentation_3d.py:326-330`;
+    SURVEY.md §7 names this THE Dice-parity risk): target affine from
+    ``zoom_affine`` (rotation kept, shear removed, zooms = pixdim), output
+    shape and origin from ``compute_shape_offset`` (corner-based), sampling
+    through the voxel->voxel affine with border clamping — image trilinear,
+    label nearest. Cross-checked against torch ``grid_sample`` (MONAI's
+    backend) in tests/test_spacing_golden_torch.py.
     """
     out = dict(sample)
     pixdim = np.asarray(pixdim, dtype=np.float64)
@@ -192,22 +248,16 @@ def respace(
             continue
         data = out[key]
         affine = np.asarray(out[f"{key}_affine"], dtype=np.float64)
-        old_spacing = np.linalg.norm(affine[:3, :3], axis=0)
         in_shape = np.array(data.shape[:3])
-        # number of output samples covering the same physical extent
-        new_shape = np.maximum(
-            np.round(in_shape * old_spacing / pixdim).astype(np.int64), 1
-        )
-        if np.array_equal(new_shape, in_shape) and np.allclose(old_spacing, pixdim):
-            continue
-        # new affine: same axis directions & origin, unit spacing pixdim
-        dirs = affine[:3, :3] / old_spacing
-        new_affine = affine.copy()
-        new_affine[:3, :3] = dirs * pixdim
+        new_affine = _zoom_affine(affine, pixdim)
+        new_shape, offset = _compute_shape_offset(in_shape, affine, new_affine)
+        new_affine[:3, 3] = offset
 
         # output voxel -> input voxel coordinate map (affine composition)
         inv_old = np.linalg.inv(affine)
         m = inv_old @ new_affine  # 4x4: new voxel -> old voxel
+        if np.array_equal(new_shape, in_shape) and np.allclose(m, np.eye(4)):
+            continue  # resample would be the identity
         res = _native_resample(data, m[:3, :], new_shape, mode)
         if res is None:
             grid = np.stack(

@@ -47,6 +47,10 @@ class Validator:
         (sigmoid+threshold post, seg :482).
       spec: sliding-window grid/blending config (seg :109 uses ROI=crop^3,
         sw_batch=4, overlap 0.25 constant).
+      mesh: optional device mesh; when given, inference shards the window
+        grid over the mesh ``data`` axis (context parallelism over volume
+        space, SURVEY.md §5 long-context row) via
+        ``sliding_window_inference_sharded``.
     """
 
     def __init__(
@@ -57,11 +61,13 @@ class Validator:
         spec: SlidingWindowSpec,
         *,
         use_fast_path: bool = False,
+        mesh=None,
     ) -> None:
         self.model = model
         self.n_classes = n_classes
         self.task = task
         self.spec = spec
+        self.mesh = mesh
 
         if use_fast_path:
             from medseg.kernels.fast_unetr import fast_apply
@@ -77,14 +83,25 @@ class Validator:
 
         self._apply_fn = apply_fn
 
-    def infer_volume(self, params, image: jax.Array) -> jax.Array:
+    def infer_volume(
+        self, params, image: jax.Array, spec: SlidingWindowSpec | None = None
+    ) -> jax.Array:
         """Blended whole-volume logits, (D, H, W, K) fp32."""
+        spec = spec or self.spec
+        if self.mesh is not None:
+            from medseg.ops.sliding_window import sliding_window_inference_sharded
+
+            return sliding_window_inference_sharded(
+                params, image, self._apply_fn, self.n_classes, spec, self.mesh
+            )
         return sliding_window_inference(
-            params, image, self._apply_fn, self.n_classes, self.spec
+            params, image, self._apply_fn, self.n_classes, spec
         )
 
-    def predict_mask(self, params, image: jax.Array) -> jax.Array:
-        logits = self.infer_volume(params, image)
+    def predict_mask(
+        self, params, image: jax.Array, spec: SlidingWindowSpec | None = None
+    ) -> jax.Array:
+        logits = self.infer_volume(params, image, spec)
         if self.task == "ct":
             return argmax_onehot(logits, self.n_classes)
         return sigmoid_threshold(logits)

@@ -96,6 +96,8 @@ class TrainLoop:
         checkpointer=None,
         log_fn: Callable[[str], None] = print,
         save_latest_every: int | None = None,
+        sync_every: int = 1,
+        progress: Callable[[int, int, float], None] | None = None,
     ) -> None:
         self.train_step = train_step
         self.max_iterations = max_iterations
@@ -107,6 +109,14 @@ class TrainLoop:
         # under "latest" regardless of metric (reference only saves on metric
         # improvement and loses optimizer state; SURVEY.md §5)
         self.save_latest_every = save_latest_every
+        # ``sync_every=1`` blocks on the loss every step (honest per-step
+        # timing, the reference's behavior at `unetr_segmentation_3d.py:222`).
+        # ``sync_every=N>1`` leaves N steps in flight so XLA dispatch, host
+        # data loading, and H2D overlap compute — the production setting.
+        self.sync_every = max(1, int(sync_every))
+        # live step readout hook (reference tqdm at seg:214-216,228-230):
+        # called as progress(step, max_iterations, last_synced_loss)
+        self.progress = progress
         self.loss_history: list[float] = []
         self.metric_history: list[float] = []
         self.best_metric: float = -1.0
@@ -115,6 +125,12 @@ class TrainLoop:
 
     def run(self, state: TrainState, batches: Iterator[dict]) -> TrainState:
         global_step = int(state.step)
+        pending: list = []  # device losses not yet fetched (async dispatch)
+
+        def drain() -> None:
+            while pending:
+                self.loss_history.append(float(pending.pop(0)))
+
         while global_step < self.max_iterations:
             try:
                 batch = next(batches)
@@ -122,10 +138,18 @@ class TrainLoop:
                 break
             t0 = time.perf_counter()
             state, loss = self.train_step(state, batch)
-            loss = float(loss)  # blocks; keeps per-step timing honest
-            self.running_time += time.perf_counter() - t0
-            self.loss_history.append(loss)
+            pending.append(loss)
             global_step += 1
+            if (
+                len(pending) >= self.sync_every
+                or global_step == self.max_iterations
+                or global_step % self.eval_num == 0
+            ):
+                drain()  # blocks on the oldest in-flight step
+            self.running_time += time.perf_counter() - t0
+            if self.progress is not None:
+                last = self.loss_history[-1] if self.loss_history else float("nan")
+                self.progress(global_step, self.max_iterations, last)
             if (
                 self.save_latest_every
                 and self.checkpointer is not None

@@ -1,0 +1,295 @@
+"""UNETR serving forward v2 — output-form fused full-resolution chain.
+
+Replaces medseg/kernels/fast_unetr.py as the TPU inference fast path.
+Functionally identical to ``UNETR.apply(..., return_encoder_features=False)``
+(topology `/root/reference/unetr.py:182-208`), but the two full-resolution
+stages (encoder1 + decoder2 + out head — 77% of the measured forward,
+docs/PERF_NOTES.md) run as a chain of ``conv_of`` kernels with two-phase
+instance norm:
+
+    enc1.conv1 (XLA, C=1)  ->  [to output-form + stats, one fused XLA pass]
+    -> conv_of(enc1.conv2)                      [stats in epilogue]
+    -> XLA fused: enc1 combine + concat with upsampled dec1 (one pass)
+    -> conv_of(dec2.conv1, +residual tap)       [stats in epilogue]
+    -> conv_of(dec2.conv2)
+    -> XLA fused: dec2 combine + 1x1 out head + bias (one pass)
+
+Between kernels nothing is repadded or re-laid-out: conv_of reads the
+output-form tensors the previous conv_of wrote; instance-norm affines are
+computed from the epilogue statistics (tiny) and applied inside the next
+kernel's patch build. Standalone norm/LeakyReLU/repad passes: zero.
+
+The ViT and low-resolution stages stay on XLA (already MXU-efficient).
+Parity-tested against the flax forward in tests/test_conv_of.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medseg.kernels.conv3d import _wp, weight_matrix
+from medseg.kernels.conv_of import (
+    conv3x3x3_of,
+    from_output_form,
+    res_weight,
+    to_output_form,
+)
+from medseg.models.blocks import (
+    LEAKY_SLOPE,
+    ConvTranspose3d,
+    UnetrPrUpBlock,
+    UnetrUpBlock,
+)
+from medseg.models.unetr import UNETR
+from medseg.models.vit import ViT3D
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+
+
+def _lane_mask(h: int, w: int) -> np.ndarray:
+    wp = _wp(w)
+    lane = np.arange(h * wp) % wp
+    return ((lane >= 1) & (lane < w + 1)).astype(np.float32)
+
+
+def fast_path_supported_v2(model: UNETR, x_shape) -> bool:
+    b, d, h, w, c = x_shape
+    fs = model.feature_size
+    wp = _wp(w)
+    vmem = (9 * 2 * fs * h * wp * 2 + 3 * 2 * fs * h * wp * 4) * 3
+    return (
+        jax.default_backend() == "tpu"
+        and d == h == w
+        and fs % 8 == 0
+        and fs <= 64
+        and w >= 48
+        and vmem < 96 * 1024 * 1024
+    )
+
+
+def _apply_sub(module, subtree, *args, **kwargs):
+    return module.apply({"params": subtree}, *args, **kwargs)
+
+
+def _affine(s, ss, norm_params, n_valid):
+    """(B, C) sums -> per-(b, c) instance-norm affine, shaped (B, C, 1)."""
+    from medseg.models.blocks import NORM_EPS
+
+    mean = s / n_valid
+    var = ss / n_valid - mean * mean
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + NORM_EPS)
+    a = norm_params["scale"][None, :] * rstd
+    bb = norm_params["bias"][None, :] - mean * a
+    return a[..., None], bb[..., None]
+
+
+def up_block_of(
+    params: dict,  # UnetrUpBlock subtree: transp_conv + conv_block
+    x: jax.Array,  # NDHWC low-res input
+    skip: jax.Array,  # NDHWC skip at 2x resolution
+    features: int,
+    dtype,
+    interpret: bool = False,
+):
+    """UnetrUpBlock via conv_of: ConvTranspose (XLA) -> concat -> fused
+    res block (conv1+residual tap, conv2, two-phase norms) -> NDHWC out.
+
+    Used for the mid-resolution decoder stages (48^3 at crop 96) where the
+    flat-lane kernel still beats XLA despite partial lane occupancy
+    (docs/PERF_NOTES.md routing table: 48^3 64->32 is 3.9x)."""
+    up = _apply_sub(
+        ConvTranspose3d(features, dtype=dtype),
+        {"convt": params["transp_conv"]["convt"]},
+        x,
+    )
+    b, d, h, w, _ = up.shape
+    n_valid = d * h * w
+    mask = jnp.asarray(_lane_mask(h, w))[None, None, None, :]
+    cat = jnp.concatenate(
+        [to_output_form(up, dtype), to_output_form(skip.astype(dtype), dtype)],
+        axis=2,
+    )
+    blk = params["conv_block"]
+    z1, s1, ss1, res, rs, rss = conv3x3x3_of(
+        cat,
+        weight_matrix(blk["conv1"]["conv"]["kernel"], dtype),
+        None, None,
+        res_weight(blk["conv3"]["conv"]["kernel"], dtype),
+        h=h, w=w, input_act="none", residual=True,
+        out_dtype=dtype, interpret=interpret,
+    )
+    a1, b1 = _affine(s1[..., 0], ss1[..., 0], blk["norm1"], n_valid)
+    z2, s2, ss2 = conv3x3x3_of(
+        z1,
+        weight_matrix(blk["conv2"]["conv"]["kernel"], dtype),
+        a1, b1,
+        h=h, w=w, input_act="affine_leaky", out_dtype=dtype, interpret=interpret,
+    )
+    a2, b2 = _affine(s2[..., 0], ss2[..., 0], blk["norm2"], n_valid)
+    a3, b3 = _affine(rs[..., 0], rss[..., 0], blk["norm3"], n_valid)
+    out = _leaky(
+        a2[:, None] * z2.astype(jnp.float32)
+        + b2[:, None]
+        + a3[:, None] * res.astype(jnp.float32)
+        + b3[:, None]
+    )
+    return from_output_form((out * mask).astype(dtype), h, w)
+
+
+def fast_apply_v2(
+    model: UNETR, variables: dict, x: jax.Array, *, interpret: bool = False
+):
+    """Forward to logits (NDHWC fp32-castable), fused full-res chain."""
+    if not fast_path_supported_v2(model, x.shape) and not interpret:
+        return model.apply(variables, x, return_encoder_features=False)
+
+    p = variables["params"]
+    dtype = model.dtype or jnp.float32
+    fs = model.feature_size
+    b, d, h, w, _ = x.shape
+    n_valid = d * h * w
+    q = model.num_layers // 4
+    mask = jnp.asarray(_lane_mask(h, w))[None, None, None, :]
+
+    # ---- XLA part: ViT + low-res encoders/decoders (unchanged) ----
+    vit = ViT3D(
+        hidden_size=model.hidden_size,
+        mlp_dim=model.mlp_dim,
+        num_layers=model.num_layers,
+        num_heads=model.num_heads,
+        patch_size=model.patch_size,
+        dropout_rate=model.dropout_rate,
+        dtype=model.dtype,
+    )
+    tokens, hidden = _apply_sub(vit, p["vit"], x)
+    fd = d // model.patch_size
+
+    def proj(t):
+        return t.reshape(b, fd, fd, fd, model.hidden_size)
+
+    enc2 = _apply_sub(
+        UnetrPrUpBlock(fs * 2, num_layer=2, res_block=model.res_block, dtype=model.dtype),
+        p["encoder2"], proj(hidden[q]),
+    )
+    enc3 = _apply_sub(
+        UnetrPrUpBlock(fs * 4, num_layer=1, res_block=model.res_block, dtype=model.dtype),
+        p["encoder3"], proj(hidden[2 * q]),
+    )
+    enc4 = _apply_sub(
+        UnetrPrUpBlock(fs * 8, num_layer=0, res_block=model.res_block, dtype=model.dtype),
+        p["encoder4"], proj(hidden[3 * q]),
+    )
+    dec4 = proj(tokens)
+    dec3 = _apply_sub(
+        UnetrUpBlock(fs * 8, res_block=model.res_block, dtype=model.dtype),
+        p["decoder5"], dec4, enc4,
+    )
+    dec2 = _apply_sub(
+        UnetrUpBlock(fs * 4, res_block=model.res_block, dtype=model.dtype),
+        p["decoder4"], dec3, enc3,
+    )
+    dec1 = _apply_sub(
+        UnetrUpBlock(fs * 2, res_block=model.res_block, dtype=model.dtype),
+        p["decoder3"], dec2, enc2,
+    )
+
+    # ---- fused full-resolution chain ----
+    e1 = p["encoder1"]["layer"]
+    xd = x.astype(dtype)
+
+    # enc1.conv1 (C_in=1) on XLA; output-form conversion + norm1 stats fuse
+    # into one read of y1
+    from medseg.kernels.conv3d import _xla_conv
+
+    y1 = _xla_conv(xd, e1["conv1"]["conv"]["kernel"].astype(dtype))  # fp32 NDHWC
+    y1_of = to_output_form(y1, dtype)
+    s1 = jnp.sum(y1, axis=(1, 2, 3)).astype(jnp.float32)  # (B, FS)
+    ss1 = jnp.sum(jnp.square(y1.astype(jnp.float32)), axis=(1, 2, 3))
+    a1, b1 = _affine(s1, ss1, e1["norm1"], n_valid)
+
+    # enc1.conv2 fused (affine+leaky of norm1 inside)
+    y2, s2, ss2 = conv3x3x3_of(
+        y1_of,
+        weight_matrix(e1["conv2"]["conv"]["kernel"], dtype),
+        a1, b1,
+        h=h, w=w, input_act="affine_leaky", out_dtype=dtype, interpret=interpret,
+    )
+    a2, b2 = _affine(s2[..., 0], ss2[..., 0], e1["norm2"], n_valid)
+
+    # enc1 residual: conv3 is 1x1 on the 1-channel input -> per-channel scale
+    # of x; its instance-norm stats derive from x's own moments (no pass)
+    k3 = e1["conv3"]["conv"]["kernel"][0, 0, 0].astype(jnp.float32)  # (1, FS)
+    sx = jnp.sum(x.astype(jnp.float32), axis=(1, 2, 3, 4))  # (B,)
+    ssx = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3, 4))
+    s3 = sx[:, None] * k3[0][None, :]
+    ss3 = ssx[:, None] * jnp.square(k3[0])[None, :]
+    a3, b3 = _affine(s3, ss3, e1["norm3"], n_valid)
+    x_of = to_output_form(xd, dtype)  # (B, D, 1, LO)
+
+    # upsample dec1 and build the 2FS-channel concat input for decoder2 in
+    # ONE fused XLA pass (concat write reads y2/x_of/up_of once)
+    up = _apply_sub(
+        ConvTranspose3d(fs, dtype=model.dtype),
+        {"convt": p["decoder2"]["transp_conv"]["convt"]},
+        dec1,
+    )
+    up_of = to_output_form(up, dtype)
+    enc1_comb = _leaky(
+        a2[:, None] * y2.astype(jnp.float32)
+        + b2[:, None]
+        + (a3[:, None] * k3[0][None, None, :, None]) * x_of.astype(jnp.float32)
+        + b3[:, None]
+    )
+    enc1_comb = (enc1_comb * mask).astype(dtype)
+    cat = jnp.concatenate([up_of, enc1_comb], axis=2)  # (B, D, 2FS, LO)
+
+    # decoder2 res block fused (conv1 + residual tap, then conv2)
+    d2 = p["decoder2"]["conv_block"]
+    z1, zs1, zss1, res, rs, rss = conv3x3x3_of(
+        cat,
+        weight_matrix(d2["conv1"]["conv"]["kernel"], dtype),
+        a1, b1,  # unused (input_act="none")
+        res_weight(d2["conv3"]["conv"]["kernel"], dtype),
+        h=h, w=w, input_act="none", residual=True,
+        out_dtype=dtype, interpret=interpret,
+    )
+    za1, zb1 = _affine(zs1[..., 0], zss1[..., 0], d2["norm1"], n_valid)
+    z2, zs2, zss2 = conv3x3x3_of(
+        z1,
+        weight_matrix(d2["conv2"]["conv"]["kernel"], dtype),
+        za1, zb1,
+        h=h, w=w, input_act="affine_leaky", out_dtype=dtype, interpret=interpret,
+    )
+    za2, zb2 = _affine(zs2[..., 0], zss2[..., 0], d2["norm2"], n_valid)
+    za3, zb3 = _affine(rs[..., 0], rss[..., 0], d2["norm3"], n_valid)
+
+    # final combine + 1x1 out head + bias, one fused XLA pass
+    combined = _leaky(
+        za2[:, None] * z2.astype(jnp.float32)
+        + zb2[:, None]
+        + za3[:, None] * res.astype(jnp.float32)
+        + zb3[:, None]
+    )
+    combined = (combined * mask).astype(dtype)
+    k_out = p["out"]["conv"]["kernel"][0, 0, 0].astype(dtype)  # (FS, K)
+    logits_of = jnp.einsum(
+        "bdcl,ck->bdkl", combined, k_out, preferred_element_type=jnp.float32
+    )
+    logits_of = logits_of + p["out"]["conv"]["bias"][None, None, :, None]
+    return from_output_form(logits_of, h, w).astype(dtype)
+
+
+def _affine(s, ss, norm_params, n_valid):
+    """(B, C) sums -> per-(b, c) instance-norm affine, shaped (B, C, 1)."""
+    from medseg.models.blocks import NORM_EPS
+
+    mean = s / n_valid
+    var = ss / n_valid - mean * mean
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + NORM_EPS)
+    a = norm_params["scale"][None, :] * rstd
+    bb = norm_params["bias"][None, :] - mean * a
+    return a[..., None], bb[..., None]

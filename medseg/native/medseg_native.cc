@@ -106,9 +106,12 @@ void msn_nearest_resample(const float* src, long long sx, long long sy,
         double fx = m[0] * i + m[1] * j + m[2] * k + m[3];
         double fy = m[4] * i + m[5] * j + m[6] * k + m[7];
         double fz = m[8] * i + m[9] * j + m[10] * k + m[11];
-        long long x = (long long)std::llround(fx);
-        long long y = (long long)std::llround(fy);
-        long long z = (long long)std::llround(fz);
+        // round half-to-even: torch grid_sample "nearest" uses nearbyint
+        // (MONAI 0.6 Spacing's backend) and numpy round matches; llround
+        // (half away from zero) would disagree on exact .5 coordinates
+        long long x = (long long)std::nearbyint(fx);
+        long long y = (long long)std::nearbyint(fy);
+        long long z = (long long)std::nearbyint(fz);
         x = std::min(std::max(x, 0LL), sx - 1);
         y = std::min(std::max(y, 0LL), sy - 1);
         z = std::min(std::max(z, 0LL), sz - 1);

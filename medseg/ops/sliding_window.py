@@ -304,7 +304,7 @@ def sliding_window_inference_sharded(
     Semantics identical to `sliding_window_inference`.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     squeeze = False
     if volume.ndim == 5:
@@ -376,7 +376,7 @@ def sliding_window_inference_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P("data"), P("data"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     acc = jax.jit(sharded)(params, vol, starts, valid, imp)
     out = acc * inv_count[..., None]

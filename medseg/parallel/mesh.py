@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -70,3 +71,30 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def psum_metric_counts(mesh: Mesh, pred, target):
+    """All-reduce eval confusion counts over the mesh data axis.
+
+    The data-parallel eval path: each chip computes (B_local, C, 4)
+    [tp, fp, tn, fn] counts for its batch shard, then one ``psum`` over ICI
+    yields the global per-class totals on every chip (SURVEY.md §5.8 "eval
+    metric reduction via psum of confusion counts"). Returns (C, 4) float32,
+    replicated.
+    """
+    from jax import shard_map
+
+    from medseg.ops.metrics import confusion_counts
+
+    def local(pred, target):
+        counts = confusion_counts(pred, target)  # (B_local, C, 4)
+        return jax.lax.psum(jnp.sum(counts, axis=0), DATA_AXIS)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(pred, target)

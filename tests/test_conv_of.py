@@ -1,0 +1,105 @@
+"""Parity tests for the output-form fused conv kernel and the v2 fast path.
+
+Interpret mode on CPU (same kernel code Mosaic compiles on TPU); the oracle
+is the plain XLA conv / flax forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medseg.kernels.conv3d import _xla_conv, weight_matrix
+from medseg.kernels.conv_of import (
+    conv3x3x3_of,
+    from_output_form,
+    res_weight,
+    to_output_form,
+)
+from medseg.models.blocks import LEAKY_SLOPE
+from medseg.models.unetr import UNETR
+
+B, D, H, W, C, CO = 2, 6, 8, 8, 8, 8
+
+
+def _mk(rng, c=C):
+    x = rng.normal(size=(B, D, H, W, c)).astype(np.float32)
+    k = rng.normal(size=(3, 3, 3, c, CO)).astype(np.float32) * 0.2
+    return jnp.asarray(x), jnp.asarray(k)
+
+
+def test_conv_of_matches_xla(rng):
+    x, k = _mk(rng)
+    xf = to_output_form(x)
+    dummy = jnp.zeros((B, C, 1), jnp.float32)
+    out, s, ss = conv3x3x3_of(
+        xf, weight_matrix(k, jnp.float32), dummy, dummy,
+        h=H, w=W, input_act="none", out_dtype=jnp.float32, interpret=True,
+    )
+    ref = _xla_conv(x, k)
+    got = from_output_form(out, H, W)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # epilogue stats == direct reductions over the conv output
+    np.testing.assert_allclose(
+        s[..., 0], jnp.sum(ref, axis=(1, 2, 3)), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        ss[..., 0], jnp.sum(jnp.square(ref), axis=(1, 2, 3)), rtol=1e-3
+    )
+
+
+def test_conv_of_fused_input_affine_leaky(rng):
+    x, k = _mk(rng)
+    a = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    bb = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    xf = to_output_form(x)
+    out, _, _ = conv3x3x3_of(
+        xf, weight_matrix(k, jnp.float32), a, bb,
+        h=H, w=W, input_act="affine_leaky", out_dtype=jnp.float32, interpret=True,
+    )
+    xt = x * a[:, None, None, None, :, 0] + bb[:, None, None, None, :, 0]
+    xt = jnp.where(xt >= 0, xt, LEAKY_SLOPE * xt)
+    ref = _xla_conv(xt, k)
+    np.testing.assert_allclose(
+        from_output_form(out, H, W), ref, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_conv_of_residual_tap(rng):
+    x, k = _mk(rng)
+    k3 = jnp.asarray(rng.normal(size=(1, 1, 1, C, CO)).astype(np.float32))
+    dummy = jnp.zeros((B, C, 1), jnp.float32)
+    out, s, ss, res, rs, rss = conv3x3x3_of(
+        to_output_form(x), weight_matrix(k, jnp.float32), dummy, dummy,
+        res_weight(k3, jnp.float32),
+        h=H, w=W, input_act="none", residual=True,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    ref_res = jnp.einsum("bdhwc,ck->bdhwk", x, k3[0, 0, 0])
+    np.testing.assert_allclose(
+        from_output_form(res, H, W), ref_res, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        rs[..., 0], jnp.sum(ref_res, axis=(1, 2, 3)), rtol=1e-3
+    )
+
+
+def test_fast_apply_v2_full_model_parity(rng):
+    from medseg.kernels.unetr_of import fast_apply_v2
+
+    model = UNETR(
+        in_channels=1,
+        out_channels=3,
+        img_size=(32, 32, 32),
+        feature_size=8,
+        hidden_size=24,
+        mlp_dim=48,
+        num_heads=4,
+        num_layers=4,
+        patch_size=16,
+    )
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    ref = model.apply(params, x, return_encoder_features=False)
+    got = fast_apply_v2(model, params, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)

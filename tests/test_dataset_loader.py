@@ -78,6 +78,55 @@ def test_cross_validation_folds_partition():
     assert cv.partitions == cv2.partitions
 
 
+def test_partition_dataset_strided_rule():
+    """MONAI 0.6 ``partition_dataset`` documented example: data [1..5],
+    2 partitions, no shuffle -> [[1,3,5],[2,4]] (STRIDED, not contiguous)."""
+    from medseg.data.dataset import partition_dataset_indices
+
+    parts = partition_dataset_indices(5, 2, shuffle=False)
+    assert [list(p) for p in parts] == [[0, 2, 4], [1, 3]]
+    # shuffled rule: RandomState(seed).shuffle(indices), then strided
+    parts = partition_dataset_indices(23, 5, shuffle=True, seed=12345)
+    idx = np.arange(23)
+    np.random.RandomState(12345).shuffle(idx)
+    for i, p in enumerate(parts):
+        np.testing.assert_array_equal(p, idx[i::5])
+
+
+def test_decathlon_dataset_sections(tmp_path):
+    """DecathlonDataset section split: seeded shuffle, first val_frac of the
+    shuffled indices = validation, rest = training; test section = 'test' key."""
+    from medseg.data.dataset import DecathlonDataset
+
+    root = make_decathlon_dir(tmp_path, n=10)
+    data_dir = os.path.dirname(root)
+    # add a test list (bare image paths, MONAI contract)
+    with open(os.path.join(root, "dataset.json")) as f:
+        meta = json.load(f)
+    meta["test"] = [e["image"] for e in meta["training"][:3]]
+    meta["labels"] = {"0": "background", "1": "organ"}
+    with open(os.path.join(root, "dataset.json"), "w") as f:
+        json.dump(meta, f)
+
+    tr = DecathlonDataset(data_dir, "TinyTask", section="training")
+    va = DecathlonDataset(data_dir, "TinyTask", section="validation")
+    te = DecathlonDataset(data_dir, "TinyTask", section="test")
+    assert len(tr) == 8 and len(va) == 2 and len(te) == 3
+    tr_imgs = {d["image"] for d in tr.data}
+    va_imgs = {d["image"] for d in va.data}
+    assert not tr_imgs & va_imgs and len(tr_imgs | va_imgs) == 10
+    # exact membership per the MONAI rule
+    idx = np.arange(10)
+    np.random.RandomState(0).shuffle(idx)
+    assert {os.path.basename(d["image"]) for d in va.data} == {
+        f"img{i:03d}.nii.gz" for i in idx[:2]
+    }
+    assert te.data[0]["image"].endswith(".nii.gz")
+    assert tr.properties["labels"] == {"0": "background", "1": "organ"}
+    with pytest.raises(FileNotFoundError, match="not supported"):
+        DecathlonDataset(data_dir, "MissingTask", download=True)
+
+
 def test_collate_flattens_crop_lists(rng):
     crops_a = [{"image": rng.normal(size=(4, 4, 4, 1)).astype(np.float32)} for _ in range(4)]
     crops_b = [{"image": rng.normal(size=(4, 4, 4, 1)).astype(np.float32)} for _ in range(4)]

@@ -90,6 +90,35 @@ def test_train_loop_tracks_best(overfit_setup):
     assert len(loop.loss_history) == 6
 
 
+def test_train_loop_async_dispatch_matches_sync(overfit_setup):
+    """sync_every>1 must not change training math or history — only when the
+    host blocks on device losses (pipelined production mode)."""
+    model, state, image, label = overfit_setup
+    step = make_train_step(model, task="ct", donate=False)
+    batch = {"image": jnp.asarray(image), "label": jnp.asarray(label)}
+
+    def batches():
+        while True:
+            yield batch
+
+    seen = []
+    loops = []
+    for sync_every in (1, 4):
+        loop = TrainLoop(
+            step,
+            max_iterations=7,
+            eval_num=100,
+            log_fn=lambda s: None,
+            sync_every=sync_every,
+            progress=lambda s, t, l: seen.append((s, t)),
+        )
+        loop.run(state, batches())
+        loops.append(loop.loss_history)
+    assert len(loops[0]) == len(loops[1]) == 7
+    np.testing.assert_allclose(loops[0], loops[1], rtol=1e-6)
+    assert seen[-1] == (7, 7)  # progress hook saw the final step
+
+
 def test_pretrain_step_feat_and_recon(rng):
     model = tiny_model(out_channels=2, crop=32)
     images = jnp.asarray(rng.normal(size=(4, 32, 32, 32, 1)).astype(np.float32))
