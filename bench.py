@@ -19,12 +19,19 @@ north-star corresponds to vs_baseline >= 5 (>= 2.5 volumes/s/chip).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: the 512^3 SWI program with the fused Pallas
+# forward takes ~12 min to compile cold but reloads in seconds. Keep the
+# cache out of git (~/.cache) but stable across bench invocations.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_medseg"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 A100_PYTORCH_BASELINE_VOL_PER_SEC = 0.5  # derivation: docs/BASELINE_MEASUREMENT.md
 FLOPS_PER_WINDOW = 125.74e9  # XLA cost analysis, docs/BASELINE_MEASUREMENT.md §1
@@ -49,9 +56,20 @@ def main() -> None:
     x_init = jnp.zeros((SW_BATCH, ROI, ROI, ROI, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), x_init)
 
-    import os
-    fast = os.environ.get("BENCH_FAST", "0")
-    if fast == "2":
+    # Fast path selection: "3" (default) = v3 output-form fused forward with
+    # channel-first logits feeding a channel-first SWI accumulator (no
+    # per-window transpose); "2" = v2 fused forward; "1" = round-1 flat-lane
+    # forward; "0" = plain XLA. All parity-tested in tests/test_conv_of.py.
+    fast = os.environ.get("BENCH_FAST", "3")
+    out_layout = "ndhwc"
+    if fast == "3":
+        from medseg.kernels.unetr_of import fast_apply_v3
+
+        out_layout = "ndchw"
+
+        def apply_fn(p, windows):
+            return fast_apply_v3(model, p, windows, channels_first=True)
+    elif fast == "2":
         from medseg.kernels.unetr_of import fast_apply_v2
 
         def apply_fn(p, windows):
@@ -74,7 +92,9 @@ def main() -> None:
     )
 
     def run():
-        return sliding_window_inference(params, volume, apply_fn, N_CLASSES, spec)
+        return sliding_window_inference(
+            params, volume, apply_fn, N_CLASSES, spec, out_layout=out_layout
+        )
 
     def sync(x):
         # device->host fetch of a single element forces completion of the

@@ -60,7 +60,7 @@ class Validator:
         task: str,
         spec: SlidingWindowSpec,
         *,
-        use_fast_path: bool = False,
+        use_fast_path: bool | None = None,
         mesh=None,
     ) -> None:
         self.model = model
@@ -68,13 +68,23 @@ class Validator:
         self.task = task
         self.spec = spec
         self.mesh = mesh
+        self._out_layout = "ndhwc"
+
+        if use_fast_path is None:
+            # default ON where it helps: the v3 kernels only engage on TPU
+            # for supported shapes (fast_path_supported_v2) and fall back to
+            # the identical flax forward otherwise
+            use_fast_path = jax.default_backend() == "tpu"
 
         if use_fast_path:
-            from medseg.kernels.fast_unetr import fast_apply
+            from medseg.kernels.unetr_of import fast_apply_v3
+
+            self._out_layout = "ndchw"
 
             def apply_fn(params, windows):
-                # fused Pallas path on TPU; identical flax forward elsewhere
-                return fast_apply(model, params, windows)
+                # fused output-form Pallas path on TPU (channel-first logits,
+                # no per-window transpose); identical flax forward elsewhere
+                return fast_apply_v3(model, params, windows, channels_first=True)
 
         else:
 
@@ -92,10 +102,12 @@ class Validator:
             from medseg.ops.sliding_window import sliding_window_inference_sharded
 
             return sliding_window_inference_sharded(
-                params, image, self._apply_fn, self.n_classes, spec, self.mesh
+                params, image, self._apply_fn, self.n_classes, spec, self.mesh,
+                out_layout=self._out_layout,
             )
         return sliding_window_inference(
-            params, image, self._apply_fn, self.n_classes, spec
+            params, image, self._apply_fn, self.n_classes, spec,
+            out_layout=self._out_layout,
         )
 
     def predict_mask(

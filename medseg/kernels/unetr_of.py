@@ -32,7 +32,10 @@ import numpy as np
 from medseg.kernels.conv3d import _wp, weight_matrix
 from medseg.kernels.conv_of import (
     conv3x3x3_of,
+    conv3x3x3_of_combine,
+    convt_expand_of,
     from_output_form,
+    outhead_of,
     res_weight,
     to_output_form,
 )
@@ -283,13 +286,148 @@ def fast_apply_v2(
     return from_output_form(logits_of, h, w).astype(dtype)
 
 
-def _affine(s, ss, norm_params, n_valid):
-    """(B, C) sums -> per-(b, c) instance-norm affine, shaped (B, C, 1)."""
-    from medseg.models.blocks import NORM_EPS
+def _xla_stages(model: UNETR, p: dict, x: jax.Array):
+    """ViT + low-resolution encoder/decoder stages (shared by v2/v3)."""
+    b, d, h, w, _ = x.shape
+    fs = model.feature_size
+    q = model.num_layers // 4
+    vit = ViT3D(
+        hidden_size=model.hidden_size,
+        mlp_dim=model.mlp_dim,
+        num_layers=model.num_layers,
+        num_heads=model.num_heads,
+        patch_size=model.patch_size,
+        dropout_rate=model.dropout_rate,
+        dtype=model.dtype,
+    )
+    tokens, hidden = _apply_sub(vit, p["vit"], x)
+    fd = d // model.patch_size
 
-    mean = s / n_valid
-    var = ss / n_valid - mean * mean
-    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + NORM_EPS)
-    a = norm_params["scale"][None, :] * rstd
-    bb = norm_params["bias"][None, :] - mean * a
-    return a[..., None], bb[..., None]
+    def proj(t):
+        return t.reshape(b, fd, fd, fd, model.hidden_size)
+
+    enc2 = _apply_sub(
+        UnetrPrUpBlock(fs * 2, num_layer=2, res_block=model.res_block, dtype=model.dtype),
+        p["encoder2"], proj(hidden[q]),
+    )
+    enc3 = _apply_sub(
+        UnetrPrUpBlock(fs * 4, num_layer=1, res_block=model.res_block, dtype=model.dtype),
+        p["encoder3"], proj(hidden[2 * q]),
+    )
+    enc4 = _apply_sub(
+        UnetrPrUpBlock(fs * 8, num_layer=0, res_block=model.res_block, dtype=model.dtype),
+        p["encoder4"], proj(hidden[3 * q]),
+    )
+    dec4 = proj(tokens)
+    dec3 = _apply_sub(
+        UnetrUpBlock(fs * 8, res_block=model.res_block, dtype=model.dtype),
+        p["decoder5"], dec4, enc4,
+    )
+    dec2 = _apply_sub(
+        UnetrUpBlock(fs * 4, res_block=model.res_block, dtype=model.dtype),
+        p["decoder4"], dec3, enc3,
+    )
+    return enc2, dec2
+
+
+def fast_apply_v3(
+    model: UNETR,
+    variables: dict,
+    x: jax.Array,
+    *,
+    interpret: bool = False,
+    channels_first: bool = False,
+):
+    """Third-generation serving forward: everything at >= 48^3 resolution is
+    Pallas output-form kernels; XLA keeps only the ViT + <= 24^3 stages and
+    the transpose-conv einsum.
+
+    vs v2 (profiled at 8x96^3, benchmarks/profile_tail.py):
+    - encoder1.conv1 (C_in=1) runs as a conv_of kernel (XLA lowering: 15.6ms)
+    - decoder2's transpose conv writes output-form directly (convt_expand_of)
+    - the enc1-combine + channel concat happen inside the decoder2.conv1
+      kernel's patch build (conv3x3x3_of_combine) — no standalone passes
+    - the final combine + 1x1 out head is one kernel (outhead_of)
+    - decoder3 (48^3) runs through up_block_of
+    With ``channels_first=True`` returns (B, D, C, H, W) logits by pure
+    reshape/slice of the output-form result (no transpose) for the
+    channel-first sliding-window accumulator."""
+    if not fast_path_supported_v2(model, x.shape) and not interpret:
+        out = model.apply(variables, x, return_encoder_features=False)
+        return out.transpose(0, 1, 4, 2, 3) if channels_first else out
+
+    p = variables["params"]
+    dtype = model.dtype or jnp.float32
+    fs = model.feature_size
+    b, d, h, w, _ = x.shape
+    n_valid = d * h * w
+    wp = _wp(w)
+    n_classes = p["out"]["conv"]["kernel"].shape[-1]
+
+    enc2, dec2 = _xla_stages(model, p, x)
+    dec1 = up_block_of(p["decoder3"], dec2, enc2, fs * 2, dtype, interpret=interpret)
+
+    # ---- full-resolution chain, all output-form ----
+    e1 = p["encoder1"]["layer"]
+    x_of = to_output_form(x.astype(dtype), dtype)  # (B, D, 1, LO)
+
+    # enc1.conv1 (C_in=1) as a kernel; stats for norm1 from the epilogue
+    y1, s1, ss1 = conv3x3x3_of(
+        x_of, weight_matrix(e1["conv1"]["conv"]["kernel"], dtype),
+        None, None, h=h, w=w, input_act="none", out_dtype=dtype,
+        interpret=interpret,
+    )
+    a1, b1 = _affine(s1[..., 0], ss1[..., 0], e1["norm1"], n_valid)
+
+    y2, s2, ss2 = conv3x3x3_of(
+        y1, weight_matrix(e1["conv2"]["conv"]["kernel"], dtype),
+        a1, b1, h=h, w=w, input_act="affine_leaky", out_dtype=dtype,
+        interpret=interpret,
+    )
+    a2, b2 = _affine(s2[..., 0], ss2[..., 0], e1["norm2"], n_valid)
+
+    # enc1 residual: 1x1 conv3 on the 1-channel input == per-channel scale of
+    # x; norm3 stats derive from x's own moments (no extra pass)
+    k3 = e1["conv3"]["conv"]["kernel"][0, 0, 0].astype(jnp.float32)  # (1, FS)
+    sx = jnp.sum(x.astype(jnp.float32), axis=(1, 2, 3, 4))  # (B,)
+    ssx = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3, 4))
+    s3 = sx[:, None] * k3[0][None, :]
+    ss3 = ssx[:, None] * jnp.square(k3[0])[None, :]
+    a3, b3 = _affine(s3, ss3, e1["norm3"], n_valid)
+    ax = a3 * k3[0][None, :, None]  # fold the 1x1 weights into the affine
+
+    # decoder2: transpose conv straight to output-form, then the fused
+    # combine+concat+conv kernel, then conv2, then the out-head kernel
+    up_of = convt_expand_of(dec1, p["decoder2"]["transp_conv"]["convt"], dtype)
+    d2 = p["decoder2"]["conv_block"]
+    z1, zs1, zss1, res, rs, rss = conv3x3x3_of_combine(
+        up_of, y2, x_of, a2, b2, ax, b3,
+        weight_matrix(d2["conv1"]["conv"]["kernel"], dtype),
+        res_weight(d2["conv3"]["conv"]["kernel"], dtype),
+        h=h, w=w, out_dtype=dtype, interpret=interpret,
+    )
+    za1, zb1 = _affine(zs1[..., 0], zss1[..., 0], d2["norm1"], n_valid)
+    z2, zs2, zss2 = conv3x3x3_of(
+        z1, weight_matrix(d2["conv2"]["conv"]["kernel"], dtype),
+        za1, zb1, h=h, w=w, input_act="affine_leaky", out_dtype=dtype,
+        interpret=interpret,
+    )
+    za2, zb2 = _affine(zs2[..., 0], zss2[..., 0], d2["norm2"], n_valid)
+    za3, zb3 = _affine(rs[..., 0], rss[..., 0], d2["norm3"], n_valid)
+
+    co_pad = max(8, -(-n_classes // 8) * 8)
+    k_out = jnp.zeros((co_pad, fs), dtype).at[:n_classes].set(
+        p["out"]["conv"]["kernel"][0, 0, 0].astype(dtype).T
+    )
+    bias = jnp.zeros((co_pad, 1), jnp.float32).at[:n_classes, 0].set(
+        p["out"]["conv"]["bias"].astype(jnp.float32)
+    )
+    logits_of = outhead_of(
+        z2, res, za2, zb2, za3, zb3, k_out, bias,
+        out_dtype=jnp.float32, interpret=interpret,
+    )  # (B, D, CO_pad, LO) fp32
+
+    blocked = logits_of.reshape(b, d, co_pad, h, wp)
+    if channels_first:
+        return blocked[:, :, :n_classes, :, 1 : w + 1]  # (B, D, C, H, W)
+    return blocked[:, :, :n_classes, :, 1 : w + 1].transpose(0, 1, 3, 4, 2)

@@ -167,7 +167,9 @@ def _device_grid_cached(padded_shape, roi, overlap, mode, sigma_scale, sw_batch)
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "roi", "n_classes", "sw_batch", "pads", "out_shape"),
+    static_argnames=(
+        "apply_fn", "roi", "n_classes", "sw_batch", "pads", "out_shape", "out_layout"
+    ),
 )
 def _swi_device(
     params,
@@ -183,13 +185,24 @@ def _swi_device(
     sw_batch: int,
     pads: tuple[tuple[int, int], ...],
     out_shape: tuple[int, int, int],
+    out_layout: str = "ndhwc",
 ) -> jax.Array:
     rd, rh, rw = roi
     if any(lo or hi for lo, hi in pads):
         volume = jnp.pad(volume, list(pads) + [(0, 0)])
     c = volume.shape[-1]
-    acc = jnp.zeros(volume.shape[:3] + (n_classes,), dtype=jnp.float32)
-    imp = importance[..., None]  # (rd, rh, rw, 1)
+    channels_first = out_layout == "ndchw"
+    if channels_first:
+        # (D, K, H, W) accumulator: the Pallas fast path emits output-form
+        # logits whose channel-first reshape is free (no transpose per
+        # window); one transpose per VOLUME at the end restores NDHWC.
+        acc = jnp.zeros(
+            (volume.shape[0], n_classes) + volume.shape[1:3], dtype=jnp.float32
+        )
+        imp = importance[:, None]  # (rd, 1, rh, rw)
+    else:
+        acc = jnp.zeros(volume.shape[:3] + (n_classes,), dtype=jnp.float32)
+        imp = importance[..., None]  # (rd, rh, rw, 1)
 
     def gather(start):
         return jax.lax.dynamic_slice(
@@ -206,16 +219,29 @@ def _swi_device(
         windows = jax.vmap(gather)(starts_b)  # (sw_batch, rd, rh, rw, C)
         inv_w = jax.vmap(gather_inv)(starts_b)  # (sw_batch, rd, rh, rw)
         logits = apply_fn(params, windows).astype(jnp.float32)
-        weighted = (
-            logits
-            * (imp[None] * inv_w[..., None])
-            * valid_b[:, None, None, None, None]
-        )
+        if channels_first:
+            # logits (sw_batch, rd, K, rh, rw)
+            weighted = (
+                logits
+                * (imp[None] * inv_w[:, :, None])
+                * valid_b[:, None, None, None, None]
+            )
+        else:
+            weighted = (
+                logits
+                * (imp[None] * inv_w[..., None])
+                * valid_b[:, None, None, None, None]
+            )
 
         def scatter(i, a):
             s = starts_b[i]
-            idx = (s[0], s[1], s[2], 0)
-            cur = jax.lax.dynamic_slice(a, idx, (rd, rh, rw, n_classes))
+            if channels_first:
+                idx = (s[0], 0, s[1], s[2])
+                blk = (rd, n_classes, rh, rw)
+            else:
+                idx = (s[0], s[1], s[2], 0)
+                blk = (rd, rh, rw, n_classes)
+            cur = jax.lax.dynamic_slice(a, idx, blk)
             return jax.lax.dynamic_update_slice(a, cur + weighted[i], idx)
 
         acc = jax.lax.fori_loop(0, sw_batch, scatter, acc)
@@ -223,6 +249,10 @@ def _swi_device(
 
     acc, _ = jax.lax.scan(step, acc, (starts, valid))
     # crop the padding off inside the same program
+    if channels_first:
+        begin = (pads[0][0], 0, pads[1][0], pads[2][0])
+        blk = (out_shape[0], n_classes, out_shape[1], out_shape[2])
+        return jax.lax.dynamic_slice(acc, begin, blk).transpose(0, 2, 3, 1)
     begin = tuple(lo for lo, _ in pads) + (0,)
     return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,))
 
@@ -233,6 +263,7 @@ def sliding_window_inference(
     apply_fn: Callable,
     n_classes: int,
     spec: SlidingWindowSpec,
+    out_layout: str = "ndhwc",
 ) -> jax.Array:
     """Run whole-volume inference.
 
@@ -240,9 +271,14 @@ def sliding_window_inference(
       params: model parameter pytree (closed over by ``apply_fn``).
       volume: (D, H, W, C) or (1, D, H, W, C) array (host or device).
       apply_fn: ``apply_fn(params, windows) -> logits`` mapping a
-        (sw_batch, rd, rh, rw, C) window stack to (sw_batch, rd, rh, rw, K).
+        (sw_batch, rd, rh, rw, C) window stack to (sw_batch, rd, rh, rw, K) —
+        or to (sw_batch, rd, K, rh, rw) with ``out_layout="ndchw"`` (the
+        Pallas fast path emits channel-first logits transpose-free; the
+        accumulator then also lives channel-first and only the final volume
+        is transposed back).
       n_classes: K.
       spec: grid/blending configuration.
+      out_layout: layout of ``apply_fn``'s logits, "ndhwc" or "ndchw".
 
     Returns:
       (D, H, W, K) float32 blended logits at the ORIGINAL (unpadded) size.
@@ -274,6 +310,7 @@ def sliding_window_inference(
         sw_batch=spec.sw_batch,
         pads=pads,
         out_shape=spatial,
+        out_layout=out_layout,
     )
     if squeeze:
         out = out[None]
@@ -291,6 +328,7 @@ def sliding_window_inference_sharded(
     n_classes: int,
     spec: SlidingWindowSpec,
     mesh,
+    out_layout: str = "ndhwc",
 ) -> jax.Array:
     """Whole-volume inference with the window grid sharded across the mesh.
 
@@ -344,10 +382,17 @@ def sliding_window_inference_sharded(
 
     rd, rh, rw = roi
     c = vol.shape[-1]
+    channels_first = out_layout == "ndchw"
 
     def local_accumulate(params, vol, starts_l, valid_l, imp):
-        acc = jnp.zeros(vol.shape[:3] + (n_classes,), dtype=jnp.float32)
-        impx = imp[..., None]
+        if channels_first:
+            acc = jnp.zeros(
+                (vol.shape[0], n_classes) + vol.shape[1:3], dtype=jnp.float32
+            )
+            impx = imp[:, None]  # (rd, 1, rh, rw)
+        else:
+            acc = jnp.zeros(vol.shape[:3] + (n_classes,), dtype=jnp.float32)
+            impx = imp[..., None]
 
         def gather(start):
             return jax.lax.dynamic_slice(
@@ -362,8 +407,13 @@ def sliding_window_inference_sharded(
 
             def scatter(i, a):
                 s = st[i]
-                idx = (s[0], s[1], s[2], 0)
-                cur = jax.lax.dynamic_slice(a, idx, (rd, rh, rw, n_classes))
+                if channels_first:
+                    idx = (s[0], 0, s[1], s[2])
+                    blk = (rd, n_classes, rh, rw)
+                else:
+                    idx = (s[0], s[1], s[2], 0)
+                    blk = (rd, rh, rw, n_classes)
+                cur = jax.lax.dynamic_slice(a, idx, blk)
                 return jax.lax.dynamic_update_slice(a, cur + weighted[i], idx)
 
             return jax.lax.fori_loop(0, spec.sw_batch, scatter, acc), None
@@ -379,6 +429,8 @@ def sliding_window_inference_sharded(
         check_vma=False,
     )
     acc = jax.jit(sharded)(params, vol, starts, valid, imp)
+    if channels_first:
+        acc = acc.transpose(0, 2, 3, 1)
     out = acc * inv_count[..., None]
     sl = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, spatial))
     out = out[sl]

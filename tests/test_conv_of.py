@@ -103,3 +103,131 @@ def test_fast_apply_v2_full_model_parity(rng):
     ref = model.apply(params, x, return_encoder_features=False)
     got = fast_apply_v2(model, params, x, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_conv_of_cin1(rng):
+    """C_in=1 route (encoder1.conv1 in the v3 fast path)."""
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, 1)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 1, CO)).astype(np.float32) * 0.3)
+    out, s, ss = conv3x3x3_of(
+        to_output_form(x), weight_matrix(k, jnp.float32), None, None,
+        h=H, w=W, input_act="none", out_dtype=jnp.float32, interpret=True,
+    )
+    ref = _xla_conv(x, k)
+    np.testing.assert_allclose(from_output_form(out, H, W), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s[..., 0], jnp.sum(ref, axis=(1, 2, 3)), rtol=1e-3)
+
+
+def test_conv_of_combine_matches_explicit(rng):
+    """Fused [up ; leaky(ay*y+by+ax*x+bx)] concat-conv + residual tap."""
+    from medseg.kernels.conv_of import conv3x3x3_of_combine
+
+    up = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    x1 = jnp.asarray(rng.normal(size=(B, D, H, W, 1)).astype(np.float32))
+    ay = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    by = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    ax = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    bx = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 2 * C, CO)).astype(np.float32) * 0.2)
+    k3 = jnp.asarray(rng.normal(size=(1, 1, 1, 2 * C, CO)).astype(np.float32))
+
+    out, s, ss, res, rs, rss = conv3x3x3_of_combine(
+        to_output_form(up), to_output_form(y), to_output_form(x1),
+        ay, by, ax, bx,
+        weight_matrix(k, jnp.float32), res_weight(k3, jnp.float32),
+        h=H, w=W, out_dtype=jnp.float32, interpret=True,
+    )
+    comb = (
+        y * ay[:, None, None, None, :, 0] + by[:, None, None, None, :, 0]
+        + x1 * ax[:, None, None, None, :, 0] + bx[:, None, None, None, :, 0]
+    )
+    comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
+    cat = jnp.concatenate([up, comb], axis=-1)
+    ref = _xla_conv(cat, k)
+    ref_res = jnp.einsum("bdhwc,ck->bdhwk", cat, k3[0, 0, 0])
+    np.testing.assert_allclose(from_output_form(out, H, W), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(from_output_form(res, H, W), ref_res, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(s[..., 0], jnp.sum(ref, axis=(1, 2, 3)), rtol=1e-3)
+    np.testing.assert_allclose(rs[..., 0], jnp.sum(ref_res, axis=(1, 2, 3)), rtol=1e-3)
+
+
+def test_outhead_of_matches_explicit(rng):
+    from medseg.kernels.conv_of import outhead_of
+
+    n_classes = 3
+    z = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    az = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    bz = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    ar = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    br = jnp.asarray(rng.normal(size=(B, C, 1)).astype(np.float32))
+    kout_full = jnp.asarray(rng.normal(size=(C, n_classes)).astype(np.float32))
+    bias_full = jnp.asarray(rng.normal(size=(n_classes,)).astype(np.float32))
+    co_pad = 8
+    kout = jnp.zeros((co_pad, C), jnp.float32).at[:n_classes].set(kout_full.T)
+    bias = jnp.zeros((co_pad, 1), jnp.float32).at[:n_classes, 0].set(bias_full)
+
+    out = outhead_of(
+        to_output_form(z), to_output_form(r), az, bz, ar, br, kout, bias,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    comb = (
+        z * az[:, None, None, None, :, 0] + bz[:, None, None, None, :, 0]
+        + r * ar[:, None, None, None, :, 0] + br[:, None, None, None, :, 0]
+    )
+    comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
+    ref = jnp.einsum("bdhwc,ck->bdhwk", comb, kout_full) + bias_full
+    got = from_output_form(out, H, W)[..., :n_classes]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_convt_expand_of_matches_module(rng):
+    from medseg.kernels.conv_of import convt_expand_of
+    from medseg.models.blocks import ConvTranspose3d
+
+    s, ci, co = 4, 6, 8
+    x = jnp.asarray(rng.normal(size=(B, s, s, s, ci)).astype(np.float32))
+    m = ConvTranspose3d(co)
+    params = m.init(jax.random.key(1), x)
+    ref = to_output_form(m.apply(params, x))
+    got = convt_expand_of(x, params["params"]["convt"], jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_up_block_of_matches_module(rng):
+    from medseg.kernels.unetr_of import up_block_of
+    from medseg.models.blocks import UnetrUpBlock
+
+    s, feats = 4, 8
+    x = jnp.asarray(rng.normal(size=(B, s, s, s, 2 * feats)).astype(np.float32))
+    skip = jnp.asarray(rng.normal(size=(B, 2 * s, 2 * s, 2 * s, feats)).astype(np.float32))
+    m = UnetrUpBlock(feats, res_block=True)
+    params = m.init(jax.random.key(2), x, skip)
+    ref = m.apply(params, x, skip)
+    got = up_block_of(params["params"], x, skip, feats, jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("channels_first", [False, True])
+def test_fast_apply_v3_full_model_parity(rng, channels_first):
+    from medseg.kernels.unetr_of import fast_apply_v3
+
+    model = UNETR(
+        in_channels=1,
+        out_channels=3,
+        img_size=(32, 32, 32),
+        feature_size=8,
+        hidden_size=24,
+        mlp_dim=48,
+        num_heads=4,
+        num_layers=4,
+        patch_size=16,
+    )
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    ref = model.apply(params, x, return_encoder_features=False)
+    got = fast_apply_v3(model, params, x, interpret=True, channels_first=channels_first)
+    if channels_first:
+        got = jnp.transpose(got, (0, 1, 3, 4, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)

@@ -126,3 +126,31 @@ def test_sharded_sliding_window_matches_single_device(rng):
         jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec, mesh
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_swi_channels_first_matches(rng):
+    """Channel-first sharded SWI (the v3 fast-path layout) == single-device."""
+    import jax.numpy as jnp
+    from medseg.ops.sliding_window import (
+        SlidingWindowSpec,
+        sliding_window_inference,
+        sliding_window_inference_sharded,
+    )
+    from medseg.parallel.mesh import make_mesh
+
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=2, mode="gaussian")
+
+    def apply_cf(params, windows):
+        return jnp.einsum("bdhwc,ck->bdkhw", windows, params)
+
+    def apply_nd(params, windows):
+        return jnp.einsum("bdhwc,ck->bdhwk", windows, params)
+
+    ref = sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), apply_nd, 5, spec)
+    mesh = make_mesh()
+    got = sliding_window_inference_sharded(
+        jnp.asarray(w), jnp.asarray(vol), apply_cf, 5, spec, mesh, out_layout="ndchw"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)

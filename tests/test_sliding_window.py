@@ -117,3 +117,23 @@ def test_real_conv_model_window_batching_invariance(rng):
         )
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["constant", "gaussian"])
+def test_channels_first_layout_matches_ndhwc(rng, mode):
+    """out_layout="ndchw": channel-first apply_fn + accumulator produce the
+    identical blended volume (the v3 Pallas fast path's layout)."""
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=4, mode=mode)
+
+    def apply_cf(params, windows):
+        return jnp.einsum("bdhwc,ck->bdkhw", windows, params)
+
+    ref = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec
+    )
+    got = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), apply_cf, 5, spec, out_layout="ndchw"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
