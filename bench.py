@@ -60,9 +60,18 @@ def main() -> None:
     # channel-first logits feeding a channel-first SWI accumulator (no
     # per-window transpose); "2" = v2 fused forward; "1" = round-1 flat-lane
     # forward; "0" = plain XLA. All parity-tested in tests/test_conv_of.py.
-    fast = os.environ.get("BENCH_FAST", "3")
+    fast = os.environ.get("BENCH_FAST", "4")
     out_layout = "ndhwc"
-    if fast == "3":
+    if fast == "4":
+        # v3 forward emitting bf16 NDHWC-K16 logits into the tile-aligned
+        # flat (D, H, W*K16) scatter (misaligned-DUS fix, round-2)
+        from medseg.kernels.unetr_of import fast_apply_v3
+
+        out_layout = "flatk"
+
+        def apply_fn(p, windows):
+            return fast_apply_v3(model, p, windows, flat_k16=True)
+    elif fast == "3":
         from medseg.kernels.unetr_of import fast_apply_v3
 
         out_layout = "ndchw"

@@ -79,12 +79,13 @@ class Validator:
         if use_fast_path:
             from medseg.kernels.unetr_of import fast_apply_v3
 
-            self._out_layout = "ndchw"
+            self._out_layout = "flatk"
 
             def apply_fn(params, windows):
-                # fused output-form Pallas path on TPU (channel-first logits,
-                # no per-window transpose); identical flax forward elsewhere
-                return fast_apply_v3(model, params, windows, channels_first=True)
+                # fused output-form Pallas path on TPU: bf16 NDHWC-K16 logits
+                # into the tile-aligned flat scatter (misaligned-DUS fix);
+                # identical flax forward elsewhere
+                return fast_apply_v3(model, params, windows, flat_k16=True)
 
         else:
 

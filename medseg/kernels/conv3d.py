@@ -48,6 +48,15 @@ LANE = 128
 
 
 def _wp(w: int) -> int:
+    """Lanes per y-row in the flat layout: x at lane x+1 plus 2 halo lanes.
+
+    Rows only need 128-lane alignment of the FLAT (H*WP) dim, not of WP
+    itself: W=48 packs two 64-lane y-rows per vreg (H*64 stays a multiple of
+    128 for even H), doubling lane occupancy on the 48^3 decoder stages —
+    the dy shifts are still plain lane rotates by +-WP.
+    """
+    if w + 2 <= 64:
+        return 64
     return int(np.ceil((w + 2) / LANE) * LANE)
 
 

@@ -337,6 +337,7 @@ def fast_apply_v3(
     *,
     interpret: bool = False,
     channels_first: bool = False,
+    flat_k16: bool = False,
 ):
     """Third-generation serving forward: everything at >= 48^3 resolution is
     Pallas output-form kernels; XLA keeps only the ViT + <= 24^3 stages and
@@ -351,9 +352,15 @@ def fast_apply_v3(
     - decoder3 (48^3) runs through up_block_of
     With ``channels_first=True`` returns (B, D, C, H, W) logits by pure
     reshape/slice of the output-form result (no transpose) for the
-    channel-first sliding-window accumulator."""
+    channel-first sliding-window accumulator. With ``flat_k16=True`` returns
+    (B, D, H, W, CO_pad) bf16 NDHWC logits with the out-head's padded
+    channel count kept (pad channels carry bias values; the flat-K16
+    sliding-window accumulator crops them after blending) for the
+    tile-aligned scatter layout."""
     if not fast_path_supported_v2(model, x.shape) and not interpret:
         out = model.apply(variables, x, return_encoder_features=False)
+        if flat_k16:
+            return out.astype(jnp.bfloat16)
         return out.transpose(0, 1, 4, 2, 3) if channels_first else out
 
     p = variables["params"]
@@ -424,10 +431,15 @@ def fast_apply_v3(
     )
     logits_of = outhead_of(
         z2, res, za2, zb2, za3, zb3, k_out, bias,
-        out_dtype=jnp.float32, interpret=interpret,
-    )  # (B, D, CO_pad, LO) fp32
+        out_dtype=jnp.bfloat16 if flat_k16 else jnp.float32,
+        interpret=interpret,
+    )  # (B, D, CO_pad, LO)
 
     blocked = logits_of.reshape(b, d, co_pad, h, wp)
+    if flat_k16:
+        # keep ALL padded channels: the flat-K16 accumulator wants (B, D, H,
+        # W, K16) with K16 = co_pad; one bf16 transpose per window batch
+        return blocked[:, :, :, :, 1 : w + 1].transpose(0, 1, 3, 4, 2)
     if channels_first:
         return blocked[:, :, :n_classes, :, 1 : w + 1]  # (B, D, C, H, W)
     return blocked[:, :, :n_classes, :, 1 : w + 1].transpose(0, 1, 3, 4, 2)

@@ -191,6 +191,12 @@ def _swi_device(
     if any(lo or hi for lo, hi in pads):
         volume = jnp.pad(volume, list(pads) + [(0, 0)])
     c = volume.shape[-1]
+    if out_layout == "flatk":
+        return _swi_device_flatk(
+            params, volume, starts, valid, importance, inv_count,
+            apply_fn=apply_fn, roi=roi, n_classes=n_classes,
+            sw_batch=sw_batch, pads=pads, out_shape=out_shape,
+        )
     channels_first = out_layout == "ndchw"
     if channels_first:
         # (D, K, H, W) accumulator: the Pallas fast path emits output-form
@@ -257,6 +263,83 @@ def _swi_device(
     return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,))
 
 
+def _flatk_pad(k: int) -> int:
+    """Classes padded to a multiple of 8 for the flat (D, H, W*K16) layout."""
+    return max(8, -(-k // 8) * 8)
+
+
+def _swi_device_flatk(
+    params,
+    volume: jax.Array,  # (D, H, W, C) already padded
+    starts: jax.Array,
+    valid: jax.Array,
+    importance: jax.Array,
+    inv_count: jax.Array,
+    *,
+    apply_fn: Callable,
+    roi: tuple[int, int, int],
+    n_classes: int,
+    sw_batch: int,
+    pads: tuple[tuple[int, int], ...],
+    out_shape: tuple[int, int, int],
+) -> jax.Array:
+    """Tile-aligned scatter: accumulator (D, H, W*K16), classes padded to K16.
+
+    Why: window starts are multiples of ``interval`` (48 for the headline
+    96^3/0.5 grid), which is NOT a multiple of the 128-lane tile — every
+    ``dynamic_update_slice`` into an NDHWC or NDCHW accumulator rewrites
+    partially-covered tiles. Packing (W, K16) into one flat minor dim makes
+    the lane offset ``start_w * K16`` a tile multiple whenever
+    ``interval * K16 % 128 == 0`` (e.g. 48*16=768), and the sublane offset
+    ``start_h`` 8-aligned. Measured 0.73 -> 0.43 s/vol glue-only at
+    BASELINE config 4 (benchmarks, round 2).
+
+    ``apply_fn`` may return (B, rd, rh, rw, K) or pre-padded (..., K16) —
+    extra channels are blended too but cropped before return, so their
+    values are irrelevant. bf16 logits are accepted (halves scatter-side
+    read traffic); accumulation stays fp32.
+    """
+    rd, rh, rw = roi
+    c = volume.shape[-1]
+    k16 = _flatk_pad(n_classes)
+    d, h, w = volume.shape[:3]
+    acc = jnp.zeros((d, h, w * k16), jnp.float32)
+    imp = importance[..., None]  # (rd, rh, rw, 1)
+
+    def gather(start):
+        return jax.lax.dynamic_slice(
+            volume, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
+        )
+
+    def gather_inv(start):
+        return jax.lax.dynamic_slice(inv_count, (start[0], start[1], start[2]), (rd, rh, rw))
+
+    def step(acc, batch):
+        starts_b, valid_b = batch
+        windows = jax.vmap(gather)(starts_b)
+        inv_w = jax.vmap(gather_inv)(starts_b)
+        logits = apply_fn(params, windows)  # (SW, rd, rh, rw, K or K16)
+        if logits.shape[-1] != k16:
+            logits = jnp.pad(logits, [(0, 0)] * 4 + [(0, k16 - logits.shape[-1])])
+        wgt = (imp[None] * inv_w[..., None]) * valid_b[:, None, None, None, None]
+        weighted = (logits.astype(jnp.float32) * wgt).astype(logits.dtype)
+        flat = weighted.reshape(sw_batch, rd, rh, rw * k16)
+
+        def scatter(i, a):
+            s = starts_b[i]
+            idx = (s[0], s[1], s[2] * k16)
+            blk = (rd, rh, rw * k16)
+            cur = jax.lax.dynamic_slice(a, idx, blk)
+            return jax.lax.dynamic_update_slice(a, cur + flat[i].astype(jnp.float32), idx)
+
+        return jax.lax.fori_loop(0, sw_batch, scatter, acc), None
+
+    acc, _ = jax.lax.scan(step, acc, (starts, valid))
+    acc = acc.reshape(d, h, w, k16)
+    begin = tuple(lo for lo, _ in pads) + (0,)
+    return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,))
+
+
 def sliding_window_inference(
     params,
     volume,
@@ -275,7 +358,10 @@ def sliding_window_inference(
         or to (sw_batch, rd, K, rh, rw) with ``out_layout="ndchw"`` (the
         Pallas fast path emits channel-first logits transpose-free; the
         accumulator then also lives channel-first and only the final volume
-        is transposed back).
+        is transposed back). With ``out_layout="flatk"`` the accumulator is
+        the tile-aligned flat (D, H, W*K16) layout (see ``_swi_device_flatk``)
+        and ``apply_fn`` may return NDHWC logits with K or pre-padded K16
+        channels, fp32 or bf16.
       n_classes: K.
       spec: grid/blending configuration.
       out_layout: layout of ``apply_fn``'s logits, "ndhwc" or "ndchw".
@@ -383,9 +469,16 @@ def sliding_window_inference_sharded(
     rd, rh, rw = roi
     c = vol.shape[-1]
     channels_first = out_layout == "ndchw"
+    flatk = out_layout == "flatk"
+    k16 = _flatk_pad(n_classes)
 
     def local_accumulate(params, vol, starts_l, valid_l, imp):
-        if channels_first:
+        if flatk:
+            acc = jnp.zeros(
+                (vol.shape[0], vol.shape[1], vol.shape[2] * k16), jnp.float32
+            )
+            impx = imp[..., None]
+        elif channels_first:
             acc = jnp.zeros(
                 (vol.shape[0], n_classes) + vol.shape[1:3], dtype=jnp.float32
             )
@@ -402,19 +495,30 @@ def sliding_window_inference_sharded(
         def step(acc, batch):
             st, va = batch
             windows = jax.vmap(gather)(st)
-            logits = apply_fn(params, windows).astype(jnp.float32)
-            weighted = logits * impx[None] * va[:, None, None, None, None]
+            logits = apply_fn(params, windows)
+            if flatk and logits.shape[-1] != k16:
+                logits = jnp.pad(logits, [(0, 0)] * 4 + [(0, k16 - logits.shape[-1])])
+            weighted = (
+                logits.astype(jnp.float32) * impx[None] * va[:, None, None, None, None]
+            ).astype(logits.dtype)
+            if flatk:
+                weighted = weighted.reshape(spec.sw_batch, rd, rh, rw * k16)
 
             def scatter(i, a):
                 s = st[i]
-                if channels_first:
+                if flatk:
+                    idx = (s[0], s[1], s[2] * k16)
+                    blk = (rd, rh, rw * k16)
+                elif channels_first:
                     idx = (s[0], 0, s[1], s[2])
                     blk = (rd, n_classes, rh, rw)
                 else:
                     idx = (s[0], s[1], s[2], 0)
                     blk = (rd, rh, rw, n_classes)
                 cur = jax.lax.dynamic_slice(a, idx, blk)
-                return jax.lax.dynamic_update_slice(a, cur + weighted[i], idx)
+                return jax.lax.dynamic_update_slice(
+                    a, cur + weighted[i].astype(jnp.float32), idx
+                )
 
             return jax.lax.fori_loop(0, spec.sw_batch, scatter, acc), None
 
@@ -429,7 +533,9 @@ def sliding_window_inference_sharded(
         check_vma=False,
     )
     acc = jax.jit(sharded)(params, vol, starts, valid, imp)
-    if channels_first:
+    if flatk:
+        acc = acc.reshape(vol.shape[:3] + (k16,))[..., :n_classes]
+    elif channels_first:
         acc = acc.transpose(0, 2, 3, 1)
     out = acc * inv_count[..., None]
     sl = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, spatial))

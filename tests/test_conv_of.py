@@ -209,8 +209,8 @@ def test_up_block_of_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("channels_first", [False, True])
-def test_fast_apply_v3_full_model_parity(rng, channels_first):
+@pytest.mark.parametrize("out_form", ["ndhwc", "ndchw", "flatk16"])
+def test_fast_apply_v3_full_model_parity(rng, out_form):
     from medseg.kernels.unetr_of import fast_apply_v3
 
     model = UNETR(
@@ -227,7 +227,14 @@ def test_fast_apply_v3_full_model_parity(rng, channels_first):
     x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32))
     params = model.init(jax.random.key(0), x)
     ref = model.apply(params, x, return_encoder_features=False)
-    got = fast_apply_v3(model, params, x, interpret=True, channels_first=channels_first)
-    if channels_first:
+    got = fast_apply_v3(
+        model, params, x, interpret=True,
+        channels_first=out_form == "ndchw", flat_k16=out_form == "flatk16",
+    )
+    if out_form == "ndchw":
         got = jnp.transpose(got, (0, 1, 3, 4, 2))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    elif out_form == "flatk16":
+        assert got.shape[-1] == 8 and got.dtype == jnp.bfloat16
+        got = got[..., :3].astype(jnp.float32)
+    tol = 5e-2 if out_form == "flatk16" else 2e-3  # bf16 out quantization
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=tol, atol=tol)

@@ -23,12 +23,15 @@ TOL = dict(rtol=1e-5, atol=1e-5)
 
 
 def test_flat_layout_roundtrip(rng):
+    from medseg.kernels.conv3d import _wp
+
+    wp = _wp(8)  # 64 since round 2: W+2 <= 64 packs two y-rows per vreg
     x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 16)).astype(np.float32))
     flat = to_flat(x)
-    assert flat.shape == (2, 6, 16, 10 * 128)
+    assert flat.shape == (2, 6, 16, 10 * wp)
     # conv-output layout differs only by the z/y halos; emulate it
     back = from_flat(
-        flat[:, 1:-1].reshape(2, 4, 16, 10, 128)[:, :, :, 1:-1].reshape(2, 4, 16, 8 * 128),
+        flat[:, 1:-1].reshape(2, 4, 16, 10, wp)[:, :, :, 1:-1].reshape(2, 4, 16, 8 * wp),
         8,
         8,
     )

@@ -137,3 +137,50 @@ def test_channels_first_layout_matches_ndhwc(rng, mode):
         jnp.asarray(w), jnp.asarray(vol), apply_cf, 5, spec, out_layout="ndchw"
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["constant", "gaussian"])
+@pytest.mark.parametrize("prepad", [False, True])
+def test_flatk_layout_matches_ndhwc(rng, mode, prepad):
+    """out_layout="flatk": the tile-aligned flat (D, H, W*K16) accumulator
+    blends identically to the NDHWC reference, with K- or pre-padded-K16
+    logits (the v3 fast path emits all 16 out-head channels, pad channels
+    carrying bias — they must be cropped after blending, not before)."""
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=4, mode=mode)
+
+    if prepad:
+        def apply_k(params, windows):
+            out = jnp.einsum("bdhwc,ck->bdhwk", windows, params)
+            return jnp.pad(out, [(0, 0)] * 4 + [(0, 3)], constant_values=7.5)
+    else:
+        apply_k = voxelwise_apply
+
+    ref = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec
+    )
+    got = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), apply_k, 5, spec, out_layout="flatk"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flatk_bf16_logits_close(rng):
+    """bf16 logits through the flat-K16 scatter stay within bf16 tolerance of
+    the fp32 blend (serving-path configuration)."""
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=4, mode="gaussian")
+
+    def apply_bf16(params, windows):
+        return jnp.einsum("bdhwc,ck->bdhwk", windows, params).astype(jnp.bfloat16)
+
+    ref = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec
+    )
+    got = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), apply_bf16, 5, spec, out_layout="flatk"
+    )
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.02 * scale
