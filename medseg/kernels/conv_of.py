@@ -7,10 +7,13 @@ measured forward, docs/PERF_NOTES.md). The round-1 kernel (conv3d.py) wins
 halo layout, instance-norm stats, norm apply, LeakyReLU — each a read+write
 over ~450MB at 8x96^3. This kernel eliminates them:
 
-- **Output-form layout (B, D, C, H*WP)**: what a conv WRITES is directly
+- **Output-form layout (B, D, C, H*WR)**: what a conv WRITES is directly
   what the next conv READS. No repad pass: z-halos are handled by clamping
-  the 3 row-stream index maps and zeroing invalid rows; y-halos by +-WP lane
-  rolls with the wrapped y-block masked.
+  the 3 row-stream index maps and zeroing invalid rows; y-halos by +-WR lane
+  rolls with the wrapped y-block masked. Two lane conventions (see
+  ``_compact``): COMPACT (H*W % 128 == 0: exactly W lanes per y-row, x at
+  lane x, dx rolls edge-masked) and PADDED (WR = _wp(W), x at lane x+1,
+  pad lanes absorb the dx roll crossings).
 - **Fused input transform**: the previous conv's instance-norm affine
   (a*x + b, per batch element and channel) and LeakyReLU execute on rows in
   VMEM while building the patch matrix — the norm "apply" pass costs nothing
@@ -44,26 +47,214 @@ from jax.experimental.pallas import tpu as pltpu
 from medseg.kernels.conv3d import LANE, _wp, weight_matrix
 from medseg.models.blocks import LEAKY_SLOPE, NORM_EPS
 
+# Multi-z blocks push the per-step patch matrix past the default 16MB scoped
+# vmem budget; v5e has 128MB of VMEM — let Mosaic use it.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _compact(h: int, w: int) -> bool:
+    """COMPACT lane convention: when H*W is a multiple of the 128-lane vreg,
+    y-rows need no pad lanes at all — x sits at lane x, the dy shift is a
+    roll by W, and the dx +-1 rolls get explicit x-edge masks instead of
+    absorbing pads. Kills every interleaved pad op around the kernels (the
+    96->128 lane pad alone cost 6.6 ms/batch in the round-2 SWI trace) and
+    cuts kernel lane work 25% at W=96/48. Otherwise the padded convention
+    (_wp lanes, x at lane x+1) applies."""
+    return (h * w) % LANE == 0
+
+
+def _lanes_row(h: int, w: int) -> int:
+    return w if _compact(h, w) else _wp(w)
+
+
+def _x_off(h: int, w: int) -> int:
+    return 0 if _compact(h, w) else 1
+
 
 def to_output_form(x: jax.Array, dtype=None) -> jax.Array:
-    """NDHWC (B, D, H, W, C) -> output-form flat (B, D, C, H*WP).
+    """NDHWC (B, D, H, W, C) -> output-form flat (B, D, C, H*WR).
 
-    Valid x data sits at lanes [1, w+1) of each WP block (the lane convention
-    of conv3d.py's conv output), pad lanes zero.
+    Compact convention (H*W % 128 == 0): pure transpose+reshape, x at lane x.
+    Padded convention otherwise: WR = _wp(W) lanes per y-row, valid x data at
+    lanes [1, w+1), pad lanes zero.
     """
     b, d, h, w, c = x.shape
-    wp = _wp(w)
     xt = x.transpose(0, 1, 4, 2, 3)  # (B, D, C, H, W)
-    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, 0), (1, wp - w - 1)))
-    out = xt.reshape(b, d, c, h * wp)
+    if not _compact(h, w):
+        wp = _wp(w)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, 0), (1, wp - w - 1)))
+    out = xt.reshape(b, d, c, h * _lanes_row(h, w))
     return out.astype(dtype) if dtype is not None else out
 
 
 def from_output_form(o: jax.Array, h: int, w: int) -> jax.Array:
-    """Output-form (B, D, C, H*WP) -> NDHWC (B, D, H, W, C)."""
+    """Output-form (B, D, C, H*WR) -> NDHWC (B, D, H, W, C)."""
     b, d, c, _ = o.shape
-    wp = _wp(w)
-    return o.reshape(b, d, c, h, wp)[..., 1 : w + 1].transpose(0, 1, 3, 4, 2)
+    wr = _lanes_row(h, w)
+    x0 = _x_off(h, w)
+    o = o.reshape(b, d, c, h, wr)
+    if x0 or wr != w:
+        o = o[..., x0 : x0 + w]
+    return o.transpose(0, 1, 3, 4, 2)
+
+
+def _zb_for(d: int, c_in: int) -> int:
+    """z-slices per grid step: amortizes the 3x z-halo re-read (to (Z+2)/Z),
+    per-step DMA/pipeline overhead, and widens the matmul N by Z. Bounded by
+    VMEM (patch matrix is (9*C, Z*LO))."""
+    limit = 4 if c_in <= 16 else 2
+    for z in (limit, 2):
+        if d % z == 0:
+            return z
+    return 1
+
+
+def _roll_lanes(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
+    """Lane-rotate that supports bf16 via an int32 sublane-pack bitcast
+    (Mosaic only rotates 32-bit data; pltpu.bitcast packs pairs of bf16
+    along SUBLANES, leaving lanes 1:1, so lane rolls commute)."""
+    if x.dtype == jnp.bfloat16 and x.shape[0] % 2 == 0 and not interpret:
+        packed = pltpu.bitcast(x, jnp.int32)  # (C/2, L)
+        return pltpu.bitcast(pltpu.roll(packed, shift, 1), jnp.bfloat16)
+    return pltpu.roll(x, shift, 1)
+
+
+def _dz_bases(sel, zb: int, lo: int):
+    """sel (ZB+2, C, LO) -> three (C, ZB*LO) lane-concats: segment j of
+    base[t] is input row z=j-1+t for output slice j."""
+    return [
+        jnp.concatenate([sel[j + t] for j in range(zb)], axis=-1)
+        for t in range(3)
+    ]
+
+
+def _stencil9(bases, c: int, zb: int, lo: int, wp: int, compute_dtype, interpret):
+    """The (dz, dy) taps over (C, N_SEG*LO) bases -> patch matrix
+    (3*len(bases)*C, N_SEG*LO); len(bases)=3 for single-z outputs, 4 for
+    z-pair outputs (rows z-1..z+2 shared by outputs z and z+1).
+
+    dy rolls cross both y-row and z-segment boundaries; both land in lanes
+    masked off by the per-segment modulo masks (lane % LO), matching the
+    per-slice zero-padding semantics."""
+    width = bases[0].shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, width), 1)
+    seg_lane = lane % lo
+    pieces = []
+    for base in bases:
+        down = _roll_lanes(base, wp, interpret)
+        down = jnp.where(seg_lane >= wp, down, jnp.zeros_like(base))
+        up = _roll_lanes(base, width - wp, interpret)
+        up = jnp.where(seg_lane < lo - wp, up, jnp.zeros_like(base))
+        pieces.extend([down, base, up])
+    return jnp.concatenate(pieces, axis=0).astype(compute_dtype)
+
+
+def _pair_ok(zb: int, c: int) -> bool:
+    """z-pair mode: two z-outputs share one matmul with block-sparse
+    (6*CO, 12*C) weights. Wins exactly when the single-z K=9C underfills
+    its 128-lane tiles (C<=32: util 21%->42% at C=16, 28%->56% at C=32);
+    at C>=64 the plain shape already fills K and pairing's 4/3 FLOP
+    inflation loses. Needs an even number of z-slices per grid step."""
+    return zb % 2 == 0 and c <= 32
+
+
+def weight_matrix_pair(wmat: jax.Array) -> jax.Array:
+    """(3*CO, 9*C) single-z weights -> (6*CO, 12*C) z-pair block weights.
+
+    K covers 4 z-rows x (3 dy x C); output block q in {0,1} (slice z+q)
+    reads rows q..q+2, i.e. K-offset q*3C for its 9C span."""
+    m3, k9 = wmat.shape
+    c3 = k9 // 3
+    out = jnp.zeros((2 * m3, k9 + c3), wmat.dtype)
+    out = out.at[:m3, :k9].set(wmat)
+    return out.at[m3:, c3:].set(wmat)
+
+
+def _conv_core(sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret):
+    """Transformed/masked sel rows (ZB+2, C, LO) -> conv output (ZB, CO, LO)
+    plus the center-row concat (C, ZB*LO) for the residual tap. Uses the
+    z-pair matmul shape when profitable."""
+    center = jnp.concatenate([sel[j + 1] for j in range(zb)], axis=-1)
+    if _pair_ok(zb, c):
+        np_ = zb // 2
+        bases = [
+            jnp.concatenate([sel[2 * p + t] for p in range(np_)], axis=-1)
+            for t in range(4)
+        ]  # (C, NP*LO) x 4 z-row positions
+        patches = _stencil9(bases, c, zb, lo, wp, compute_dtype, interpret)
+        m = jnp.dot(w_ref[...], patches, preferred_element_type=jnp.float32)
+        parts = [
+            _dx_combine(
+                jax.lax.slice(m, (q * 3 * c_out, 0), ((q + 1) * 3 * c_out, np_ * lo)),
+                c_out, np_, lo, wp, w,
+            )
+            for q in range(2)
+        ]  # part q: output slices 2p+q, segments p
+        out = jnp.stack(
+            [
+                jax.lax.slice(parts[j % 2], (0, (j // 2) * lo), (c_out, (j // 2 + 1) * lo))
+                for j in range(zb)
+            ]
+        )
+        full_for_stats = jnp.concatenate(parts, axis=-1)
+        return out, full_for_stats, center
+    bases = _dz_bases(sel, zb, lo)
+    patches9 = _stencil9(bases, c, zb, lo, wp, compute_dtype, interpret)
+    m3 = jnp.dot(w_ref[...], patches9, preferred_element_type=jnp.float32)
+    acc = _dx_combine(m3, c_out, zb, lo, wp, w)
+    return _stack_z(acc, c_out, zb, lo), acc, center
+
+
+def _dx_combine(m3, c_out: int, zb: int, lo: int, wp: int, w: int):
+    """(3*CO, ZB*LO) matmul result -> masked conv output (CO, ZB*LO): the
+    three dx tap rows roll +-1 lane into place and sum.
+
+    Padded convention: pad lanes absorb every boundary crossing (incl.
+    z-segment seams); one out_valid mask at the end. Compact convention
+    (wp == w): the +-1 rolls land on REAL lanes at x-edges, so the rolled
+    pieces are edge-masked before summing; no final mask needed."""
+    zlo = zb * lo
+    compact = wp == w
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, zlo), 1)
+    xpos = out_lane % wp
+    acc = None
+    for dx in range(3):
+        m = jax.lax.slice(m3, (dx * c_out, 0), ((dx + 1) * c_out, zlo))
+        sh = (zlo - (dx - 1)) % zlo
+        if sh:
+            m = pltpu.roll(m, sh, 1)
+        if compact and dx == 0:  # left tap: out x==0 has no left neighbor
+            m = jnp.where(xpos == 0, 0.0, m)
+        elif compact and dx == 2:  # right tap: out x==w-1 has no right
+            m = jnp.where(xpos == w - 1, 0.0, m)
+        acc = m if acc is None else acc + m
+    if compact:
+        return acc
+    out_valid = (xpos >= 1) & (xpos < w + 1)
+    return jnp.where(out_valid, acc, 0.0)
+
+
+def _stack_z(full, c_out: int, zb: int, lo: int):
+    """(CO, ZB*LO) -> (ZB, CO, LO) by 128-aligned lane slices (no relayout
+    of the lane dim: each segment slice starts at a multiple of LO)."""
+    return jnp.stack(
+        [jax.lax.slice(full, (0, j * lo), (c_out, (j + 1) * lo)) for j in range(zb)]
+    )
+
+
+def _sel_rows(x0, x1, x2, zb: int):
+    """Three (ZB, C, LO) stream blocks (z-block index maps zb-1/zb/zb+1,
+    clamped) -> the ZB+2 rows needed for outputs j=0..ZB-1 (global z rows
+    ZB*zblk-1 .. ZB*(zblk+1)); clamped-garbage rows are zeroed by zvalid."""
+    raw = jnp.concatenate([x0[0], x1[0], x2[0]], axis=0)  # (3ZB, C, LO)
+    return jax.lax.slice_in_dim(raw, zb - 1, 2 * zb + 1, axis=0)
+
+
+def _zvalid(zblk, zb: int, d: int, c: int, lo: int):
+    """(ZB+2, 1, 1) mask: sel row i is global z = ZB*zblk + i - 1."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (zb + 2, 1, 1), 0)
+    zg = zb * zblk + i - 1
+    return jnp.logical_and(zg >= 0, zg < d)
 
 
 def _kernel(
@@ -74,54 +265,41 @@ def _kernel(
     w: int,
     wp: int,
     d: int,
+    zb: int,
     input_act: str,
     residual: bool,
     compute_dtype,
+    interpret: bool,
 ):
     if residual:
         (x0, x1, x2, a_ref, b_ref, w_ref, wr_ref,
          o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref) = refs
     else:
         x0, x1, x2, a_ref, b_ref, w_ref, o_ref, s_ref, ss_ref = refs
-    z = pl.program_id(1)
+    zblk = pl.program_id(1)
     lo = h * wp
-    lane = jax.lax.broadcasted_iota(jnp.int32, (c, lo), 1)
-    lane_valid = ((lane % wp) >= 1) & ((lane % wp) < w + 1)
 
-    rows = []
-    for k, xr in enumerate((x0, x1, x2)):
-        r = xr[0, 0].astype(jnp.float32)  # (C, LO)
-        if input_act == "affine_leaky":
-            r = r * a_ref[0] + b_ref[0]  # (C, 1) broadcast over lanes
-            r = jnp.where(r >= 0, r, LEAKY_SLOPE * r)
-        zi = z - 1 + k
-        zvalid = jnp.logical_and(zi >= 0, zi < d)
-        r = jnp.where(jnp.logical_and(lane_valid, zvalid), r, 0.0)
-        rows.append(r)
+    sel = _sel_rows(x0, x1, x2, zb).astype(jnp.float32)  # (ZB+2, C, LO)
+    if input_act == "affine_leaky":
+        sel = sel * a_ref[0][None] + b_ref[0][None]
+        sel = jnp.where(sel >= 0, sel, LEAKY_SLOPE * sel)
+    if wp == w:  # compact: every lane is a real voxel, only z needs masking
+        sel = jnp.where(_zvalid(zblk, zb, d, c, lo), sel, 0.0)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c, lo), 2)
+        lane_valid = ((lane % wp) >= 1) & ((lane % wp) < w + 1)
+        sel = jnp.where(
+            jnp.logical_and(lane_valid, _zvalid(zblk, zb, d, c, lo)), sel, 0.0
+        )
+    # bf16 through the rolls (int32 pair-pack bitcast) when sublanes pack
+    # evenly; C=1 (conv1) stays fp32 — Mosaic only rotates 32-bit data
+    if compute_dtype == jnp.bfloat16 and c % 2 == 0:
+        sel = sel.astype(compute_dtype)
 
-    pieces = []
-    for dz in range(3):
-        base = rows[dz]
-        # dy taps: output row y reads input row y + (dy - 1)
-        down = pltpu.roll(base, wp, 1)  # input row y-1 lands at block y
-        down = jnp.where(lane >= wp, down, 0.0)
-        up = pltpu.roll(base, lo - wp, 1)  # input row y+1 at block y
-        up = jnp.where(lane < lo - wp, up, 0.0)
-        pieces.extend([down, base, up])
-    patches9 = jnp.concatenate(pieces, axis=0).astype(compute_dtype)  # (9C, LO)
-
-    m3 = jnp.dot(w_ref[...], patches9, preferred_element_type=jnp.float32)
-    acc = None
-    for dx in range(3):
-        m = jax.lax.slice(m3, (dx * c_out, 0), ((dx + 1) * c_out, lo))
-        sh = (lo - (dx - 1)) % lo
-        if sh:
-            m = pltpu.roll(m, sh, 1)
-        acc = m if acc is None else acc + m
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, lo), 1)
-    out_valid = ((out_lane % wp) >= 1) & ((out_lane % wp) < w + 1)
-    acc = jnp.where(out_valid, acc, 0.0)
-    o_ref[...] = acc.astype(o_ref.dtype)[None, None]
+    out, acc, center = _conv_core(
+        sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret
+    )
+    o_ref[...] = out.astype(o_ref.dtype)[None]
 
     def accumulate_stats(vals, sref, ssref):
         s = jnp.broadcast_to(jnp.sum(vals, axis=1, keepdims=True), (c_out, LANE))
@@ -129,12 +307,12 @@ def _kernel(
             jnp.sum(vals * vals, axis=1, keepdims=True), (c_out, LANE)
         )
 
-        @pl.when(z == 0)
+        @pl.when(zblk == 0)
         def _():
             sref[...] = s[None]
             ssref[...] = ss[None]
 
-        @pl.when(z != 0)
+        @pl.when(zblk != 0)
         def _():
             sref[...] += s[None]
             ssref[...] += ss[None]
@@ -142,13 +320,13 @@ def _kernel(
     accumulate_stats(acc, s_ref, ss_ref)
 
     if residual:
-        # 1x1x1 projection (conv3) of the transformed center row
-        res = jnp.dot(
-            wr_ref[...], rows[1].astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
-        res = jnp.where(out_valid, res, 0.0)
-        r_ref[...] = res.astype(r_ref.dtype)[None, None]
+        # 1x1x1 projection (conv3) of the transformed center rows
+        res = jnp.dot(wr_ref[...], center, preferred_element_type=jnp.float32)
+        if wp != w:
+            out_lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, zb * lo), 1)
+            out_valid = ((out_lane % wp) >= 1) & ((out_lane % wp) < w + 1)
+            res = jnp.where(out_valid, res, 0.0)
+        r_ref[...] = _stack_z(res, c_out, zb, lo).astype(r_ref.dtype)[None]
         accumulate_stats(res, rs_ref, rss_ref)
 
 
@@ -174,9 +352,14 @@ def conv3x3x3_of(
     ``residual=True``. ``s``/``ss`` are (B, CO, 128) lane-broadcast sums /
     sums-of-squares over the valid voxels (take lane 0)."""
     bsz, d, c, lo = x.shape
-    wp = _wp(w)
+    wp = w if lo == h * w else _wp(w)  # compact vs padded lane convention
+    assert lo == h * wp, (lo, h, w, wp)
     c_out = wmat.shape[0] // 3
     compute_dtype = wmat.dtype
+    zb = _zb_for(d, c)
+    nzb = d // zb
+    if _pair_ok(zb, c):
+        wmat = weight_matrix_pair(wmat)
     if input_act == "none":
         # unused, but block shapes must match the input channel count
         a = jnp.zeros((bsz, c, 1), jnp.float32)
@@ -184,13 +367,13 @@ def conv3x3x3_of(
 
     def row_spec(k):
         return pl.BlockSpec(
-            (1, 1, c, lo),
-            lambda bb, z, k=k: (bb, jnp.clip(z - 1 + k, 0, d - 1), 0, 0),
+            (1, zb, c, lo),
+            lambda bb, z, k=k: (bb, jnp.clip(z - 1 + k, 0, nzb - 1), 0, 0),
         )
 
     ab_spec = pl.BlockSpec((1, c, 1), lambda bb, z: (bb, 0, 0))
     stat_spec = pl.BlockSpec((1, c_out, LANE), lambda bb, z: (bb, 0, 0))
-    out_spec = pl.BlockSpec((1, 1, c_out, lo), lambda bb, z: (bb, z, 0, 0))
+    out_spec = pl.BlockSpec((1, zb, c_out, lo), lambda bb, z: (bb, z, 0, 0))
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, d, c_out, lo), out_dtype)
 
@@ -213,16 +396,19 @@ def conv3x3x3_of(
         w=w,
         wp=wp,
         d=d,
+        zb=zb,
         input_act=input_act,
         residual=residual,
         compute_dtype=compute_dtype,
+        interpret=interpret,
     )
     return pl.pallas_call(
         kern,
-        grid=(bsz, d),
+        grid=(bsz, nzb),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(*operands)
 
@@ -231,54 +417,43 @@ def _combine_kernel(
     up0, up1, up2, y0, y1, y2, x0, x1, x2,
     ay_ref, by_ref, ax_ref, bx_ref, w_ref, wr_ref,
     o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref,
-    *, c_half: int, c_out: int, h: int, w: int, wp: int, d: int, compute_dtype,
+    *, c_half: int, c_out: int, h: int, w: int, wp: int, d: int, zb: int,
+    compute_dtype, interpret: bool,
 ):
     """conv3x3x3 over the 2*c_half-channel concat [up ; leaky(ay*y+by+ax*x+bx)]
     with the skip-combine computed on rows in VMEM (kills the standalone
     enc1-combine + concat HBM passes of the v2 serving path). Residual 1x1
-    tap + two-phase-norm statistics as in ``_kernel``."""
-    z = pl.program_id(1)
+    tap + two-phase-norm statistics as in ``_kernel``; multi-z blocked."""
+    zblk = pl.program_id(1)
     lo = h * wp
-    lane = jax.lax.broadcasted_iota(jnp.int32, (2 * c_half, lo), 1)
-    lane_valid = ((lane % wp) >= 1) & ((lane % wp) < w + 1)
+    c = 2 * c_half
 
-    rows = []
-    for k, (ur, yr, xr) in enumerate(((up0, y0, x0), (up1, y1, x1), (up2, y2, x2))):
-        u = ur[0, 0].astype(jnp.float32)  # (C_half, LO)
-        comb = (
-            yr[0, 0].astype(jnp.float32) * ay_ref[0]
-            + by_ref[0]
-            + xr[0, 0].astype(jnp.float32) * ax_ref[0]  # (1,LO)*(C_half,1)
-            + bx_ref[0]
+    u_sel = _sel_rows(up0, up1, up2, zb).astype(jnp.float32)  # (ZB+2, CH, LO)
+    y_sel = _sel_rows(y0, y1, y2, zb).astype(jnp.float32)
+    x_sel = _sel_rows(x0, x1, x2, zb).astype(jnp.float32)  # (ZB+2, 1, LO)
+    comb = (
+        y_sel * ay_ref[0][None]
+        + by_ref[0][None]
+        + x_sel * ax_ref[0][None]  # (.., 1, LO) * (CH, 1) broadcast
+        + bx_ref[0][None]
+    )
+    comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
+    sel = jnp.concatenate([u_sel, comb], axis=1)  # (ZB+2, C, LO)
+    if wp == w:  # compact: every lane is a real voxel, only z needs masking
+        sel = jnp.where(_zvalid(zblk, zb, d, c, lo), sel, 0.0)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c, lo), 2)
+        lane_valid = ((lane % wp) >= 1) & ((lane % wp) < w + 1)
+        sel = jnp.where(
+            jnp.logical_and(lane_valid, _zvalid(zblk, zb, d, c, lo)), sel, 0.0
         )
-        comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
-        r = jnp.concatenate([u, comb], axis=0)  # (2*C_half, LO)
-        zi = z - 1 + k
-        zvalid = jnp.logical_and(zi >= 0, zi < d)
-        rows.append(jnp.where(jnp.logical_and(lane_valid, zvalid), r, 0.0))
+    if compute_dtype == jnp.bfloat16 and c % 2 == 0:
+        sel = sel.astype(compute_dtype)
 
-    pieces = []
-    for dz in range(3):
-        base = rows[dz]
-        down = pltpu.roll(base, wp, 1)
-        down = jnp.where(lane >= wp, down, 0.0)
-        up_sh = pltpu.roll(base, lo - wp, 1)
-        up_sh = jnp.where(lane < lo - wp, up_sh, 0.0)
-        pieces.extend([down, base, up_sh])
-    patches9 = jnp.concatenate(pieces, axis=0).astype(compute_dtype)
-
-    m3 = jnp.dot(w_ref[...], patches9, preferred_element_type=jnp.float32)
-    acc = None
-    for dx in range(3):
-        m = jax.lax.slice(m3, (dx * c_out, 0), ((dx + 1) * c_out, lo))
-        sh = (lo - (dx - 1)) % lo
-        if sh:
-            m = pltpu.roll(m, sh, 1)
-        acc = m if acc is None else acc + m
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, lo), 1)
-    out_valid = ((out_lane % wp) >= 1) & ((out_lane % wp) < w + 1)
-    acc = jnp.where(out_valid, acc, 0.0)
-    o_ref[...] = acc.astype(o_ref.dtype)[None, None]
+    out, acc, center = _conv_core(
+        sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret
+    )
+    o_ref[...] = out.astype(o_ref.dtype)[None]
 
     def accumulate_stats(vals, sref, ssref):
         s = jnp.broadcast_to(jnp.sum(vals, axis=1, keepdims=True), (c_out, LANE))
@@ -286,24 +461,24 @@ def _combine_kernel(
             jnp.sum(vals * vals, axis=1, keepdims=True), (c_out, LANE)
         )
 
-        @pl.when(z == 0)
+        @pl.when(zblk == 0)
         def _():
             sref[...] = s[None]
             ssref[...] = ss[None]
 
-        @pl.when(z != 0)
+        @pl.when(zblk != 0)
         def _():
             sref[...] += s[None]
             ssref[...] += ss[None]
 
     accumulate_stats(acc, s_ref, ss_ref)
 
-    res = jnp.dot(
-        wr_ref[...], rows[1].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    res = jnp.where(out_valid, res, 0.0)
-    r_ref[...] = res.astype(r_ref.dtype)[None, None]
+    res = jnp.dot(wr_ref[...], center, preferred_element_type=jnp.float32)
+    if wp != w:
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, zb * lo), 1)
+        out_valid = ((out_lane % wp) >= 1) & ((out_lane % wp) < w + 1)
+        res = jnp.where(out_valid, res, 0.0)
+    r_ref[...] = _stack_z(res, c_out, zb, lo).astype(r_ref.dtype)[None]
     accumulate_stats(res, rs_ref, rss_ref)
 
 
@@ -331,30 +506,35 @@ def conv3x3x3_of_combine(
     y / x row streams and runs the 3x3x3 conv + residual tap + stats.
     Returns (out, s, ss, res, rs, rss)."""
     bsz, d, c_half, lo = up.shape
-    wp = _wp(w)
+    wp = w if lo == h * w else _wp(w)  # compact vs padded lane convention
+    assert lo == h * wp, (lo, h, w, wp)
     c_out = wmat.shape[0] // 3
     compute_dtype = wmat.dtype
+    zb = _zb_for(d, 2 * c_half)
+    nzb = d // zb
+    if _pair_ok(zb, 2 * c_half):
+        wmat = weight_matrix_pair(wmat)
 
     def row_spec(arr_c, k):
         return pl.BlockSpec(
-            (1, 1, arr_c, lo),
-            lambda bb, z, k=k: (bb, jnp.clip(z - 1 + k, 0, d - 1), 0, 0),
+            (1, zb, arr_c, lo),
+            lambda bb, z, k=k: (bb, jnp.clip(z - 1 + k, 0, nzb - 1), 0, 0),
         )
 
     ab_spec = pl.BlockSpec((1, c_half, 1), lambda bb, z: (bb, 0, 0))
     stat_spec = pl.BlockSpec((1, c_out, LANE), lambda bb, z: (bb, 0, 0))
-    out_spec = pl.BlockSpec((1, 1, c_out, lo), lambda bb, z: (bb, z, 0, 0))
+    out_spec = pl.BlockSpec((1, zb, c_out, lo), lambda bb, z: (bb, z, 0, 0))
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, d, c_out, lo), out_dtype)
 
     kern = functools.partial(
         _combine_kernel,
-        c_half=c_half, c_out=c_out, h=h, w=w, wp=wp, d=d,
-        compute_dtype=compute_dtype,
+        c_half=c_half, c_out=c_out, h=h, w=w, wp=wp, d=d, zb=zb,
+        compute_dtype=compute_dtype, interpret=interpret,
     )
     return pl.pallas_call(
         kern,
-        grid=(bsz, d),
+        grid=(bsz, nzb),
         in_specs=[
             row_spec(c_half, 0), row_spec(c_half, 1), row_spec(c_half, 2),
             row_spec(c_half, 0), row_spec(c_half, 1), row_spec(c_half, 2),
@@ -365,29 +545,32 @@ def conv3x3x3_of_combine(
         ],
         out_specs=(out_spec, stat_spec, stat_spec, out_spec, stat_spec, stat_spec),
         out_shape=(res_shape, stat_shape, stat_shape, res_shape, stat_shape, stat_shape),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(up, up, up, y, y, y, x1, x1, x1, ay, by, ax, bx, wmat, wres)
 
 
 def _outhead_kernel(
     z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, bias_ref, o_ref,
-    *, compute_dtype,
+    *, zb: int, compute_dtype,
 ):
     """Final residual-block combine + LeakyReLU + 1x1x1 out head, one pass:
     logits = K @ leaky(az*z + bz + ar*res + br) + bias, written in
-    output-form. Replaces two fp32 combine passes + einsum + bias add."""
+    output-form. Replaces two fp32 combine passes + einsum + bias add.
+    Multi-z blocked (ZB slices per grid step; no halos for a 1x1x1 head)."""
     comb = (
-        z_ref[0, 0].astype(jnp.float32) * az_ref[0]
-        + bz_ref[0]
-        + r_ref[0, 0].astype(jnp.float32) * ar_ref[0]
-        + br_ref[0]
-    )
-    comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
-    out = jnp.dot(
-        k_ref[...], comb.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[...] = (out + bias_ref[...])[None, None].astype(o_ref.dtype)
+        z_ref[0].astype(jnp.float32) * az_ref[0][None]
+        + bz_ref[0][None]
+        + r_ref[0].astype(jnp.float32) * ar_ref[0][None]
+        + br_ref[0][None]
+    )  # (ZB, C, LO)
+    comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb).astype(compute_dtype)
+    outs = [
+        jnp.dot(k_ref[...], comb[j], preferred_element_type=jnp.float32)
+        + bias_ref[...]
+        for j in range(zb)
+    ]
+    o_ref[...] = jnp.stack(outs)[None].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -408,18 +591,21 @@ def outhead_of(
     callers slice [:n_classes]."""
     bsz, d, c, lo = z.shape
     co = kout.shape[0]
-    row = lambda: pl.BlockSpec((1, 1, c, lo), lambda bb, zz: (bb, zz, 0, 0))
+    zb = _zb_for(d, c)
+    nzb = d // zb
+    row = lambda: pl.BlockSpec((1, zb, c, lo), lambda bb, zz: (bb, zz, 0, 0))
     ab_spec = pl.BlockSpec((1, c, 1), lambda bb, zz: (bb, 0, 0))
     return pl.pallas_call(
-        functools.partial(_outhead_kernel, compute_dtype=kout.dtype),
-        grid=(bsz, d),
+        functools.partial(_outhead_kernel, zb=zb, compute_dtype=kout.dtype),
+        grid=(bsz, nzb),
         in_specs=[
             row(), row(), ab_spec, ab_spec, ab_spec, ab_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, co, lo), lambda bb, zz: (bb, zz, 0, 0)),
+        out_specs=pl.BlockSpec((1, zb, co, lo), lambda bb, zz: (bb, zz, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, d, co, lo), out_dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(z, res, az, bz, ar, br, kout, bias)
 
@@ -444,13 +630,15 @@ def convt_expand_of(
     bias = convt_params["bias"]
     co = kern.shape[3]
     s2 = 2 * s
-    wp = _wp(s2)
     T = jnp.einsum(
         "bdhwc,ijlkc->bdikhjwl", t, kern.astype(t.dtype),
         preferred_element_type=jnp.float32,
     )
     T = T + bias[None, None, None, :, None, None, None, None]
     T = T.reshape(b, s2, co, s2, s2).astype(dtype)
+    if _compact(s2, s2):
+        return T.reshape(b, s2, co, s2 * s2)
+    wp = _wp(s2)
     T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, 0), (1, wp - s2 - 1)))
     return T.reshape(b, s2, co, s2 * wp)
 

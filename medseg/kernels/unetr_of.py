@@ -54,9 +54,12 @@ def _leaky(x):
 
 
 def _lane_mask(h: int, w: int) -> np.ndarray:
-    wp = _wp(w)
-    lane = np.arange(h * wp) % wp
-    return ((lane >= 1) & (lane < w + 1)).astype(np.float32)
+    from medseg.kernels.conv_of import _lanes_row, _x_off
+
+    wr = _lanes_row(h, w)
+    x0 = _x_off(h, w)
+    lane = np.arange(h * wr) % wr
+    return ((lane >= x0) & (lane < x0 + w)).astype(np.float32)
 
 
 def fast_path_supported_v2(model: UNETR, x_shape) -> bool:
@@ -363,12 +366,15 @@ def fast_apply_v3(
             return out.astype(jnp.bfloat16)
         return out.transpose(0, 1, 4, 2, 3) if channels_first else out
 
+    from medseg.kernels.conv_of import _lanes_row, _x_off
+
     p = variables["params"]
     dtype = model.dtype or jnp.float32
     fs = model.feature_size
     b, d, h, w, _ = x.shape
     n_valid = d * h * w
-    wp = _wp(w)
+    wp = _lanes_row(h, w)
+    x_off = _x_off(h, w)
     n_classes = p["out"]["conv"]["kernel"].shape[-1]
 
     enc2, dec2 = _xla_stages(model, p, x)
@@ -436,10 +442,12 @@ def fast_apply_v3(
     )  # (B, D, CO_pad, LO)
 
     blocked = logits_of.reshape(b, d, co_pad, h, wp)
+    if x_off or wp != w:
+        blocked = blocked[:, :, :, :, x_off : x_off + w]
     if flat_k16:
         # keep ALL padded channels: the flat-K16 accumulator wants (B, D, H,
         # W, K16) with K16 = co_pad; one bf16 transpose per window batch
-        return blocked[:, :, :, :, 1 : w + 1].transpose(0, 1, 3, 4, 2)
+        return blocked.transpose(0, 1, 3, 4, 2)
     if channels_first:
-        return blocked[:, :, :n_classes, :, 1 : w + 1]  # (B, D, C, H, W)
-    return blocked[:, :, :n_classes, :, 1 : w + 1].transpose(0, 1, 3, 4, 2)
+        return blocked[:, :, :n_classes]  # (B, D, C, H, W)
+    return blocked[:, :, :n_classes].transpose(0, 1, 3, 4, 2)

@@ -332,6 +332,9 @@ def _swi_device_flatk(
             cur = jax.lax.dynamic_slice(a, idx, blk)
             return jax.lax.dynamic_update_slice(a, cur + flat[i].astype(jnp.float32), idx)
 
+        # NOTE: measured AGAINST a static unroll: the fori_loop version runs
+        # 0.542 vol/s vs 0.495 unrolled at BASELINE config 4 (the unrolled
+        # 8-DUS chain schedules worse); keep the loop.
         return jax.lax.fori_loop(0, sw_batch, scatter, acc), None
 
     acc, _ = jax.lax.scan(step, acc, (starts, valid))
