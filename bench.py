@@ -64,13 +64,14 @@ def main() -> None:
     out_layout = "ndhwc"
     if fast == "4":
         # v3 forward emitting bf16 NDHWC-K16 logits into the tile-aligned
-        # flat (D, H, W*K16) scatter (misaligned-DUS fix, round-2)
+        # flat (D, H, W*K16) scatter (misaligned-DUS fix, round-2); the
+        # blend weight multiplies inside the out-head kernel epilogue
         from medseg.kernels.unetr_of import fast_apply_v3
 
         out_layout = "flatk"
 
-        def apply_fn(p, windows):
-            return fast_apply_v3(model, p, windows, flat_k16=True)
+        def apply_fn(p, windows, wgt):
+            return fast_apply_v3(model, p, windows, flat_k16=True, out_scale=wgt)
     elif fast == "3":
         from medseg.kernels.unetr_of import fast_apply_v3
 
@@ -102,7 +103,8 @@ def main() -> None:
 
     def run():
         return sliding_window_inference(
-            params, volume, apply_fn, N_CLASSES, spec, out_layout=out_layout
+            params, volume, apply_fn, N_CLASSES, spec, out_layout=out_layout,
+            apply_takes_weight=fast == "4",
         )
 
     def sync(x):

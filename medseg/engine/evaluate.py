@@ -69,6 +69,7 @@ class Validator:
         self.spec = spec
         self.mesh = mesh
         self._out_layout = "ndhwc"
+        self._apply_takes_weight = False
 
         if use_fast_path is None:
             # default ON where it helps: the v3 kernels only engage on TPU
@@ -80,12 +81,16 @@ class Validator:
             from medseg.kernels.unetr_of import fast_apply_v3
 
             self._out_layout = "flatk"
+            self._apply_takes_weight = True
 
-            def apply_fn(params, windows):
-                # fused output-form Pallas path on TPU: bf16 NDHWC-K16 logits
-                # into the tile-aligned flat scatter (misaligned-DUS fix);
-                # identical flax forward elsewhere
-                return fast_apply_v3(model, params, windows, flat_k16=True)
+            def apply_fn(params, windows, wgt):
+                # fused output-form Pallas path on TPU: bf16 NDHWC-K16
+                # pre-weighted logits (blend weight folded into the out-head
+                # kernel) into the tile-aligned flat scatter; identical flax
+                # forward elsewhere
+                return fast_apply_v3(
+                    model, params, windows, flat_k16=True, out_scale=wgt
+                )
 
         else:
 
@@ -102,13 +107,21 @@ class Validator:
         if self.mesh is not None:
             from medseg.ops.sliding_window import sliding_window_inference_sharded
 
+            apply_fn = self._apply_fn
+            if self._apply_takes_weight:
+                # the sharded path applies importance/normalization itself
+                # (after the psum); feed a unit blend weight
+                def apply_fn(p, w, _f=self._apply_fn):
+                    return _f(p, w, jnp.ones(w.shape[:4] + (1,), jnp.float32))
+
             return sliding_window_inference_sharded(
-                params, image, self._apply_fn, self.n_classes, spec, self.mesh,
+                params, image, apply_fn, self.n_classes, spec, self.mesh,
                 out_layout=self._out_layout,
             )
         return sliding_window_inference(
             params, image, self._apply_fn, self.n_classes, spec,
             out_layout=self._out_layout,
+            apply_takes_weight=self._apply_takes_weight,
         )
 
     def predict_mask(

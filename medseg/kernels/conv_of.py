@@ -551,13 +551,20 @@ def conv3x3x3_of_combine(
 
 
 def _outhead_kernel(
-    z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, bias_ref, o_ref,
-    *, zb: int, compute_dtype,
+    *refs, zb: int, scaled: bool, compute_dtype,
 ):
     """Final residual-block combine + LeakyReLU + 1x1x1 out head, one pass:
-    logits = K @ leaky(az*z + bz + ar*res + br) + bias, written in
-    output-form. Replaces two fp32 combine passes + einsum + bias add.
-    Multi-z blocked (ZB slices per grid step; no halos for a 1x1x1 head)."""
+    logits = (K @ leaky(az*z + bz + ar*res + br) + bias) [* scale], written
+    in output-form. Replaces two fp32 combine passes + einsum + bias add;
+    with ``scaled``, the sliding-window blend weight (importance * 1/count
+    * window-validity, one row per (b, z)) multiplies in the epilogue so the
+    serving path emits PRE-WEIGHTED logits (kills a standalone full-volume
+    multiply pass). Multi-z blocked (no halos for a 1x1x1 head)."""
+    if scaled:
+        (z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, bias_ref,
+         sc_ref, o_ref) = refs
+    else:
+        z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, bias_ref, o_ref = refs
     comb = (
         z_ref[0].astype(jnp.float32) * az_ref[0][None]
         + bz_ref[0][None]
@@ -570,7 +577,10 @@ def _outhead_kernel(
         + bias_ref[...]
         for j in range(zb)
     ]
-    o_ref[...] = jnp.stack(outs)[None].astype(o_ref.dtype)
+    out = jnp.stack(outs)
+    if scaled:
+        out = out * sc_ref[0].astype(jnp.float32)  # (ZB, 1, LO) broadcast
+    o_ref[...] = out[None].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -583,31 +593,41 @@ def outhead_of(
     br: jax.Array,
     kout: jax.Array,  # (CO_pad, C) 1x1x1 out-head weights (rows >= n_classes zero)
     bias: jax.Array,  # (CO_pad, 1) fp32
+    scale: jax.Array | None = None,  # (B, D, 1, LO) fp32 per-voxel blend weight
     *,
     out_dtype=jnp.float32,
     interpret: bool = False,
 ):
     """Output-form logits (B, D, CO_pad, LO). Pad channels carry bias only;
-    callers slice [:n_classes]."""
+    callers slice [:n_classes]. ``scale`` multiplies the logits in the
+    kernel epilogue (sliding-window blend weights)."""
     bsz, d, c, lo = z.shape
     co = kout.shape[0]
     zb = _zb_for(d, c)
     nzb = d // zb
     row = lambda: pl.BlockSpec((1, zb, c, lo), lambda bb, zz: (bb, zz, 0, 0))
     ab_spec = pl.BlockSpec((1, c, 1), lambda bb, zz: (bb, 0, 0))
+    in_specs = [
+        row(), row(), ab_spec, ab_spec, ab_spec, ab_spec,
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [z, res, az, bz, ar, br, kout, bias]
+    if scale is not None:
+        in_specs.append(pl.BlockSpec((1, zb, 1, lo), lambda bb, zz: (bb, zz, 0, 0)))
+        operands.append(scale)
     return pl.pallas_call(
-        functools.partial(_outhead_kernel, zb=zb, compute_dtype=kout.dtype),
+        functools.partial(
+            _outhead_kernel, zb=zb, scaled=scale is not None,
+            compute_dtype=kout.dtype,
+        ),
         grid=(bsz, nzb),
-        in_specs=[
-            row(), row(), ab_spec, ab_spec, ab_spec, ab_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, zb, co, lo), lambda bb, zz: (bb, zz, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, d, co, lo), out_dtype),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(z, res, az, bz, ar, br, kout, bias)
+    )(*operands)
 
 
 def convt_expand_of(

@@ -341,6 +341,7 @@ def fast_apply_v3(
     interpret: bool = False,
     channels_first: bool = False,
     flat_k16: bool = False,
+    out_scale: jax.Array | None = None,  # (B, D, H, W, 1) fp32 blend weight
 ):
     """Third-generation serving forward: everything at >= 48^3 resolution is
     Pallas output-form kernels; XLA keeps only the ViT + <= 24^3 stages and
@@ -362,6 +363,8 @@ def fast_apply_v3(
     tile-aligned scatter layout."""
     if not fast_path_supported_v2(model, x.shape) and not interpret:
         out = model.apply(variables, x, return_encoder_features=False)
+        if out_scale is not None:
+            out = out * out_scale
         if flat_k16:
             return out.astype(jnp.bfloat16)
         return out.transpose(0, 1, 4, 2, 3) if channels_first else out
@@ -435,18 +438,23 @@ def fast_apply_v3(
     bias = jnp.zeros((co_pad, 1), jnp.float32).at[:n_classes, 0].set(
         p["out"]["conv"]["bias"].astype(jnp.float32)
     )
+    scale_of = None if out_scale is None else to_output_form(out_scale, jnp.float32)
     logits_of = outhead_of(
-        z2, res, za2, zb2, za3, zb3, k_out, bias,
+        z2, res, za2, zb2, za3, zb3, k_out, bias, scale_of,
         out_dtype=jnp.bfloat16 if flat_k16 else jnp.float32,
         interpret=interpret,
     )  # (B, D, CO_pad, LO)
 
+    if flat_k16 and wp == w:
+        # keep ALL padded channels: the flat-K16 accumulator wants (B, D, H,
+        # W, K16) with K16 = co_pad. In the compact convention this is ONE
+        # minor-pair transpose (co, h*w) -> (h*w, co) + free reshape — XLA
+        # lowers the 5-D permutation variant as a 6+ ms/batch copy chain.
+        return logits_of.swapaxes(2, 3).reshape(b, d, h, w, co_pad)
     blocked = logits_of.reshape(b, d, co_pad, h, wp)
     if x_off or wp != w:
         blocked = blocked[:, :, :, :, x_off : x_off + w]
     if flat_k16:
-        # keep ALL padded channels: the flat-K16 accumulator wants (B, D, H,
-        # W, K16) with K16 = co_pad; one bf16 transpose per window batch
         return blocked.transpose(0, 1, 3, 4, 2)
     if channels_first:
         return blocked[:, :, :n_classes]  # (B, D, C, H, W)

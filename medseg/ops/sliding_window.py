@@ -168,7 +168,8 @@ def _device_grid_cached(padded_shape, roi, overlap, mode, sigma_scale, sw_batch)
 @partial(
     jax.jit,
     static_argnames=(
-        "apply_fn", "roi", "n_classes", "sw_batch", "pads", "out_shape", "out_layout"
+        "apply_fn", "roi", "n_classes", "sw_batch", "pads", "out_shape",
+        "out_layout", "apply_takes_weight",
     ),
 )
 def _swi_device(
@@ -186,6 +187,7 @@ def _swi_device(
     pads: tuple[tuple[int, int], ...],
     out_shape: tuple[int, int, int],
     out_layout: str = "ndhwc",
+    apply_takes_weight: bool = False,
 ) -> jax.Array:
     rd, rh, rw = roi
     if any(lo or hi for lo, hi in pads):
@@ -196,6 +198,7 @@ def _swi_device(
             params, volume, starts, valid, importance, inv_count,
             apply_fn=apply_fn, roi=roi, n_classes=n_classes,
             sw_batch=sw_batch, pads=pads, out_shape=out_shape,
+            apply_takes_weight=apply_takes_weight,
         )
     channels_first = out_layout == "ndchw"
     if channels_first:
@@ -282,6 +285,7 @@ def _swi_device_flatk(
     sw_batch: int,
     pads: tuple[tuple[int, int], ...],
     out_shape: tuple[int, int, int],
+    apply_takes_weight: bool = False,
 ) -> jax.Array:
     """Tile-aligned scatter: accumulator (D, H, W*K16), classes padded to K16.
 
@@ -318,11 +322,20 @@ def _swi_device_flatk(
         starts_b, valid_b = batch
         windows = jax.vmap(gather)(starts_b)
         inv_w = jax.vmap(gather_inv)(starts_b)
-        logits = apply_fn(params, windows)  # (SW, rd, rh, rw, K or K16)
-        if logits.shape[-1] != k16:
-            logits = jnp.pad(logits, [(0, 0)] * 4 + [(0, k16 - logits.shape[-1])])
         wgt = (imp[None] * inv_w[..., None]) * valid_b[:, None, None, None, None]
-        weighted = (logits.astype(jnp.float32) * wgt).astype(logits.dtype)
+        if apply_takes_weight:
+            # the model multiplies the blend weight in its out-head epilogue
+            # (Pallas fast path) — no standalone full-volume multiply pass
+            weighted = apply_fn(params, windows, wgt)
+            if weighted.shape[-1] != k16:
+                weighted = jnp.pad(
+                    weighted, [(0, 0)] * 4 + [(0, k16 - weighted.shape[-1])]
+                )
+        else:
+            logits = apply_fn(params, windows)  # (SW, rd, rh, rw, K or K16)
+            if logits.shape[-1] != k16:
+                logits = jnp.pad(logits, [(0, 0)] * 4 + [(0, k16 - logits.shape[-1])])
+            weighted = (logits.astype(jnp.float32) * wgt).astype(logits.dtype)
         flat = weighted.reshape(sw_batch, rd, rh, rw * k16)
 
         def scatter(i, a):
@@ -350,6 +363,7 @@ def sliding_window_inference(
     n_classes: int,
     spec: SlidingWindowSpec,
     out_layout: str = "ndhwc",
+    apply_takes_weight: bool = False,
 ) -> jax.Array:
     """Run whole-volume inference.
 
@@ -400,6 +414,7 @@ def sliding_window_inference(
         pads=pads,
         out_shape=spatial,
         out_layout=out_layout,
+        apply_takes_weight=apply_takes_weight,
     )
     if squeeze:
         out = out[None]

@@ -209,7 +209,7 @@ def test_up_block_of_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("out_form", ["ndhwc", "ndchw", "flatk16"])
+@pytest.mark.parametrize("out_form", ["ndhwc", "ndchw", "flatk16", "flatk16_scaled"])
 def test_fast_apply_v3_full_model_parity(rng, out_form):
     from medseg.kernels.unetr_of import fast_apply_v3
 
@@ -227,14 +227,23 @@ def test_fast_apply_v3_full_model_parity(rng, out_form):
     x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32))
     params = model.init(jax.random.key(0), x)
     ref = model.apply(params, x, return_encoder_features=False)
+    scale = None
+    if out_form == "flatk16_scaled":
+        # blend weight folded into the out-head kernel epilogue
+        scale = jnp.asarray(
+            rng.uniform(0.2, 1.0, size=(1, 32, 32, 32, 1)).astype(np.float32)
+        )
+        ref = ref * scale
     got = fast_apply_v3(
         model, params, x, interpret=True,
-        channels_first=out_form == "ndchw", flat_k16=out_form == "flatk16",
+        channels_first=out_form == "ndchw",
+        flat_k16=out_form.startswith("flatk16"),
+        out_scale=scale,
     )
     if out_form == "ndchw":
         got = jnp.transpose(got, (0, 1, 3, 4, 2))
-    elif out_form == "flatk16":
+    elif out_form.startswith("flatk16"):
         assert got.shape[-1] == 8 and got.dtype == jnp.bfloat16
         got = got[..., :3].astype(jnp.float32)
-    tol = 5e-2 if out_form == "flatk16" else 2e-3  # bf16 out quantization
+    tol = 5e-2 if out_form.startswith("flatk16") else 2e-3  # bf16 out quant
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=tol, atol=tol)

@@ -184,3 +184,24 @@ def test_flatk_bf16_logits_close(rng):
     )
     scale = float(np.max(np.abs(np.asarray(ref))))
     assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.02 * scale
+
+
+def test_flatk_apply_takes_weight(rng):
+    """apply_takes_weight: the model receives the blend weight (importance *
+    1/count * validity) and emits pre-weighted logits (the Pallas serving
+    path folds this into the out-head kernel epilogue) — identical blend."""
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=4, mode="gaussian")
+
+    def apply_weighted(params, windows, wgt):
+        return jnp.einsum("bdhwc,ck->bdhwk", windows, params) * wgt
+
+    ref = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec
+    )
+    got = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), apply_weighted, 5, spec,
+        out_layout="flatk", apply_takes_weight=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
