@@ -105,6 +105,7 @@ def main() -> None:
         return sliding_window_inference(
             params, volume, apply_fn, N_CLASSES, spec, out_layout=out_layout,
             apply_takes_weight=fast == "4",
+            acc_dtype="bf16" if fast == "4" else "fp32",
         )
 
     def sync(x):

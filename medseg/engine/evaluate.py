@@ -70,6 +70,7 @@ class Validator:
         self.mesh = mesh
         self._out_layout = "ndhwc"
         self._apply_takes_weight = False
+        self._acc_dtype = "fp32"
 
         if use_fast_path is None:
             # default ON where it helps: the v3 kernels only engage on TPU
@@ -82,6 +83,7 @@ class Validator:
 
             self._out_layout = "flatk"
             self._apply_takes_weight = True
+            self._acc_dtype = "bf16"
 
             def apply_fn(params, windows, wgt):
                 # fused output-form Pallas path on TPU: bf16 NDHWC-K16
@@ -122,6 +124,7 @@ class Validator:
             params, image, self._apply_fn, self.n_classes, spec,
             out_layout=self._out_layout,
             apply_takes_weight=self._apply_takes_weight,
+            acc_dtype=self._acc_dtype,
         )
 
     def predict_mask(

@@ -169,7 +169,7 @@ def _device_grid_cached(padded_shape, roi, overlap, mode, sigma_scale, sw_batch)
     jax.jit,
     static_argnames=(
         "apply_fn", "roi", "n_classes", "sw_batch", "pads", "out_shape",
-        "out_layout", "apply_takes_weight",
+        "out_layout", "apply_takes_weight", "acc_dtype",
     ),
 )
 def _swi_device(
@@ -188,6 +188,7 @@ def _swi_device(
     out_shape: tuple[int, int, int],
     out_layout: str = "ndhwc",
     apply_takes_weight: bool = False,
+    acc_dtype: str = "fp32",
 ) -> jax.Array:
     rd, rh, rw = roi
     if any(lo or hi for lo, hi in pads):
@@ -199,6 +200,7 @@ def _swi_device(
             apply_fn=apply_fn, roi=roi, n_classes=n_classes,
             sw_batch=sw_batch, pads=pads, out_shape=out_shape,
             apply_takes_weight=apply_takes_weight,
+            acc_dtype=jnp.bfloat16 if acc_dtype == "bf16" else jnp.float32,
         )
     channels_first = out_layout == "ndchw"
     if channels_first:
@@ -286,6 +288,7 @@ def _swi_device_flatk(
     pads: tuple[tuple[int, int], ...],
     out_shape: tuple[int, int, int],
     apply_takes_weight: bool = False,
+    acc_dtype=jnp.float32,
 ) -> jax.Array:
     """Tile-aligned scatter: accumulator (D, H, W*K16), classes padded to K16.
 
@@ -307,7 +310,12 @@ def _swi_device_flatk(
     c = volume.shape[-1]
     k16 = _flatk_pad(n_classes)
     d, h, w = volume.shape[:3]
-    acc = jnp.zeros((d, h, w * k16), jnp.float32)
+    # acc_dtype=bf16 halves the scatter read-modify-write traffic (the
+    # largest remaining SWI cost); blend contributions are same-sign and
+    # <= 8 per voxel, so the bf16 accumulation error (~0.4% relative) is at
+    # the same scale as the bf16 model-logit noise. MONAI-contract fp32 is
+    # the default; the serving path opts into bf16.
+    acc = jnp.zeros((d, h, w * k16), acc_dtype)
     imp = importance[..., None]  # (rd, rh, rw, 1)
 
     def gather(start):
@@ -343,7 +351,7 @@ def _swi_device_flatk(
             idx = (s[0], s[1], s[2] * k16)
             blk = (rd, rh, rw * k16)
             cur = jax.lax.dynamic_slice(a, idx, blk)
-            return jax.lax.dynamic_update_slice(a, cur + flat[i].astype(jnp.float32), idx)
+            return jax.lax.dynamic_update_slice(a, cur + flat[i].astype(a.dtype), idx)
 
         # NOTE: measured AGAINST a static unroll: the fori_loop version runs
         # 0.542 vol/s vs 0.495 unrolled at BASELINE config 4 (the unrolled
@@ -353,7 +361,7 @@ def _swi_device_flatk(
     acc, _ = jax.lax.scan(step, acc, (starts, valid))
     acc = acc.reshape(d, h, w, k16)
     begin = tuple(lo for lo, _ in pads) + (0,)
-    return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,))
+    return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,)).astype(jnp.float32)
 
 
 def sliding_window_inference(
@@ -364,6 +372,7 @@ def sliding_window_inference(
     spec: SlidingWindowSpec,
     out_layout: str = "ndhwc",
     apply_takes_weight: bool = False,
+    acc_dtype: str = "fp32",
 ) -> jax.Array:
     """Run whole-volume inference.
 
@@ -415,6 +424,7 @@ def sliding_window_inference(
         out_shape=spatial,
         out_layout=out_layout,
         apply_takes_weight=apply_takes_weight,
+        acc_dtype=acc_dtype,
     )
     if squeeze:
         out = out[None]

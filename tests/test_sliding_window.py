@@ -205,3 +205,21 @@ def test_flatk_apply_takes_weight(rng):
         out_layout="flatk", apply_takes_weight=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flatk_bf16_accumulator_close(rng):
+    """acc_dtype="bf16" (serving default): blended volume within bf16
+    tolerance of the fp32-accumulated reference."""
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=4, mode="gaussian")
+    ref = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec
+    )
+    got = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec,
+        out_layout="flatk", acc_dtype="bf16",
+    )
+    assert got.dtype == jnp.float32
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.03 * scale
