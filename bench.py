@@ -62,7 +62,20 @@ def main() -> None:
     # forward; "0" = plain XLA. All parity-tested in tests/test_conv_of.py.
     fast = os.environ.get("BENCH_FAST", "4")
     out_layout = "ndhwc"
-    if fast == "4":
+    if fast == "5":
+        # v3 + PARITY-PLANE full-res layout: the transpose-conv writes its
+        # four (y, x)-parity planes as direct matmul slices (no interleaved
+        # relayout), the scatter accumulates in plane order, one
+        # deinterleave per volume (kernels/conv_of.py:_pp_ok)
+        from medseg.kernels.unetr_of import fast_apply_v3
+
+        out_layout = "ppk"
+
+        def apply_fn(p, windows, wgt):
+            return fast_apply_v3(
+                model, p, windows, flat_k16=True, out_scale=wgt, pp=True
+            )
+    elif fast == "4":
         # v3 forward emitting bf16 NDHWC-K16 logits into the tile-aligned
         # flat (D, H, W*K16) scatter (misaligned-DUS fix, round-2); the
         # blend weight multiplies inside the out-head kernel epilogue
@@ -104,8 +117,8 @@ def main() -> None:
     def run():
         return sliding_window_inference(
             params, volume, apply_fn, N_CLASSES, spec, out_layout=out_layout,
-            apply_takes_weight=fast == "4",
-            acc_dtype="bf16" if fast == "4" else "fp32",
+            apply_takes_weight=fast in ("4", "5"),
+            acc_dtype="bf16" if fast in ("4", "5") else "fp32",
         )
 
     def sync(x):

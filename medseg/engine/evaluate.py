@@ -79,20 +79,36 @@ class Validator:
             use_fast_path = jax.default_backend() == "tpu"
 
         if use_fast_path:
+            from medseg.kernels.conv_of import _pp_ok
             from medseg.kernels.unetr_of import fast_apply_v3
 
+            # flatk measured marginally faster than the parity-plane ppk
+            # end-to-end (0.815 vs 0.805 vol/s: ppk removes the convt
+            # relayouts but pays more in stencil taps + a more fragmented
+            # scatter, docs/PERF_NOTES.md) — flat scatter is the default,
+            # ppk stays available via out_layout
+            self._pp_model = False
+            _ = _pp_ok  # ppk opt-in retained
             self._out_layout = "flatk"
             self._apply_takes_weight = True
             self._acc_dtype = "bf16"
+            pp = self._pp_model
 
             def apply_fn(params, windows, wgt):
-                # fused output-form Pallas path on TPU: bf16 NDHWC-K16
-                # pre-weighted logits (blend weight folded into the out-head
-                # kernel) into the tile-aligned flat scatter; identical flax
+                # fused output-form Pallas path on TPU: bf16 pre-weighted
+                # logits (blend weight folded into the out-head kernel) into
+                # the tile-aligned parity-plane/flat scatter; identical flax
                 # forward elsewhere
+                return fast_apply_v3(
+                    model, params, windows, flat_k16=True, out_scale=wgt, pp=pp
+                )
+
+            def apply_fn_flat(params, windows, wgt):
                 return fast_apply_v3(
                     model, params, windows, flat_k16=True, out_scale=wgt
                 )
+
+            self._apply_fn_flat = apply_fn_flat
 
         else:
 
@@ -110,19 +126,32 @@ class Validator:
             from medseg.ops.sliding_window import sliding_window_inference_sharded
 
             apply_fn = self._apply_fn
+            out_layout = self._out_layout
             if self._apply_takes_weight:
                 # the sharded path applies importance/normalization itself
-                # (after the psum); feed a unit blend weight
-                def apply_fn(p, w, _f=self._apply_fn):
+                # (after the psum); feed a unit blend weight, and use the
+                # flat window form (ppk is a single-device scatter layout)
+                out_layout = "flatk" if out_layout == "ppk" else out_layout
+                base = getattr(self, "_apply_fn_flat", self._apply_fn)
+
+                def apply_fn(p, w, _f=base):
                     return _f(p, w, jnp.ones(w.shape[:4] + (1,), jnp.float32))
 
             return sliding_window_inference_sharded(
                 params, image, apply_fn, self.n_classes, spec, self.mesh,
-                out_layout=self._out_layout,
+                out_layout=out_layout,
             )
+        out_layout = self._out_layout
+        apply_fn = self._apply_fn
+        if out_layout == "ppk":
+            from medseg.ops.sliding_window import ppk_supported
+
+            if not ppk_supported(tuple(int(v) for v in image.shape[-4:-1]), spec):
+                out_layout = "flatk"  # parity not preserved for this grid
+                apply_fn = self._apply_fn_flat
         return sliding_window_inference(
-            params, image, self._apply_fn, self.n_classes, spec,
-            out_layout=self._out_layout,
+            params, image, apply_fn, self.n_classes, spec,
+            out_layout=out_layout,
             apply_takes_weight=self._apply_takes_weight,
             acc_dtype=self._acc_dtype,
         )

@@ -149,6 +149,118 @@ def _stencil9(bases, c: int, zb: int, lo: int, wp: int, compute_dtype, interpret
     return jnp.concatenate(pieces, axis=0).astype(compute_dtype)
 
 
+def _pp_ok(h: int, w: int) -> bool:
+    """PARITY-PLANE lane convention: lanes ordered as 4 (y, x)-parity planes
+    of (H/2)*(W/2) voxels — lane = (2j+l)*SEG + (W/2)*hh + ww for voxel
+    (y, x) = (2hh+j, 2ww+l), SEG = (H/2)*(W/2).
+
+    Why: the decoder2 transpose-conv's output IS four parity planes (one per
+    (j, l) filter tap), so in PP it writes as direct matmul output slices —
+    no interleaved-lane relayout (8+ ms/batch of XLA pad/copy in the compact
+    convention). Stencil taps become per-plane lane rolls; one deinterleave
+    runs per VOLUME instead of per window. Requires even H, W and a
+    128-multiple plane segment."""
+    return h % 2 == 0 and w % 2 == 0 and ((h // 2) * (w // 2)) % LANE == 0
+
+
+def to_pp(x: jax.Array, dtype=None) -> jax.Array:
+    """NDHWC (B, D, H, W, C) -> parity-plane flat (B, D, C, 4*SEG)."""
+    b, d, h, w, c = x.shape
+    xt = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
+    xt = xt.transpose(0, 1, 6, 3, 5, 2, 4)  # (B, D, C, j, l, hh, ww)
+    out = xt.reshape(b, d, c, h * w)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def from_pp(o: jax.Array, h: int, w: int) -> jax.Array:
+    """Parity-plane flat (B, D, C, 4*SEG) -> NDHWC (B, D, H, W, C)."""
+    b, d, c, _ = o.shape
+    o = o.reshape(b, d, c, 2, 2, h // 2, w // 2)
+    return o.transpose(0, 1, 5, 3, 6, 4, 2).reshape(b, d, h, w, c)
+
+
+def _pp_masks(c: int, width: int, lo: int, seg: int, wh: int):
+    """Lane classification for PP stencils: plane row (j), plane col (l),
+    hh and ww within the plane. ``wh`` = W/2 (plane row length)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, width), 1)
+    sl = lane % lo  # position within one z-segment
+    plane = sl // seg
+    off = sl % seg
+    return plane // 2, plane % 2, off // wh, off % wh  # j, l, hh, ww
+
+
+def _roll_to(base, delta: int, interpret: bool):
+    """out[L] = base[L + delta] (cyclic)."""
+    width = base.shape[-1]
+    return _roll_lanes(base, (width - delta) % width, interpret)
+
+
+def _dy_taps_pp(base, dy: int, lo: int, seg: int, wh: int, hmax: int, interpret):
+    """PP tap for y+dy (dy = +-1) over a (C, N_SEG*LO) base: the source
+    plane row flips parity, so each tap is two plane-masked rolls.
+
+    dy=-1: out j=0 <- (j'=1, hh-1): delta = +2*SEG - WH  (invalid at hh=0)
+           out j=1 <- (j'=0, hh):   delta = -2*SEG
+    dy=+1: out j=0 <- (j'=1, hh):   delta = +2*SEG
+           out j=1 <- (j'=0, hh+1): delta = -2*SEG + WH (invalid at hh=max)
+    """
+    c, width = base.shape
+    j, _, hh, _ = _pp_masks(c, width, lo, seg, wh)
+    zero = jnp.zeros_like(base)
+    if dy == -1:
+        a = _roll_to(base, 2 * seg - wh, interpret)
+        a = jnp.where((j == 0) & (hh >= 1), a, zero)
+        b = _roll_to(base, -2 * seg, interpret)
+        b = jnp.where(j == 1, b, zero)
+    else:
+        a = _roll_to(base, 2 * seg, interpret)
+        a = jnp.where(j == 0, a, zero)
+        b = _roll_to(base, -2 * seg + wh, interpret)
+        b = jnp.where((j == 1) & (hh < hmax - 1), b, zero)
+    return a + b
+
+
+def _stencil9_pp(bases, c: int, lo: int, seg: int, wh: int, hmax: int,
+                 compute_dtype, interpret):
+    """PP analogue of _stencil9: (dz, dy) taps -> (3*len(bases)*C, width)."""
+    pieces = []
+    for base in bases:
+        pieces.append(_dy_taps_pp(base, -1, lo, seg, wh, hmax, interpret))
+        pieces.append(base)
+        pieces.append(_dy_taps_pp(base, +1, lo, seg, wh, hmax, interpret))
+    return jnp.concatenate(pieces, axis=0).astype(compute_dtype)
+
+
+def _dx_combine_pp(m3, c_out: int, nseg: int, lo: int, seg: int, wh: int,
+                   wmax: int, interpret):
+    """PP analogue of _dx_combine: the three dx tap rows move across the
+    l-parity planes (two plane-masked rolls each for dx != 0) and sum."""
+    width = nseg * lo
+    j, l, hh, ww = _pp_masks(c_out, width, lo, seg, wh)
+    zero = None
+    acc = None
+    for dx in range(3):
+        m = jax.lax.slice(m3, (dx * c_out, 0), ((dx + 1) * c_out, width))
+        if dx == 1:
+            piece = m
+        else:
+            if zero is None:
+                zero = jnp.zeros_like(m)
+            if dx == 0:  # left tap: out x gets source x-1
+                a = _roll_to(m, seg - 1, interpret)   # l=0 <- (l'=1, ww-1)
+                a = jnp.where((l == 0) & (ww >= 1), a, zero)
+                b = _roll_to(m, -seg, interpret)      # l=1 <- (l'=0, ww)
+                b = jnp.where(l == 1, b, zero)
+            else:  # dx == 2, right tap: out x gets source x+1
+                a = _roll_to(m, seg, interpret)       # l=0 <- (l'=1, ww)
+                a = jnp.where(l == 0, a, zero)
+                b = _roll_to(m, -seg + 1, interpret)  # l=1 <- (l'=0, ww+1)
+                b = jnp.where((l == 1) & (ww < wmax - 1), b, zero)
+            piece = a + b
+        acc = piece if acc is None else acc + piece
+    return acc
+
+
 def _pair_ok(zb: int, c: int) -> bool:
     """z-pair mode: two z-outputs share one matmul with block-sparse
     (6*CO, 12*C) weights. Wins exactly when the single-z K=9C underfills
@@ -170,10 +282,27 @@ def weight_matrix_pair(wmat: jax.Array) -> jax.Array:
     return out.at[m3:, c3:].set(wmat)
 
 
-def _conv_core(sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret):
+def _conv_core(sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret,
+               pp=False, h=None):
     """Transformed/masked sel rows (ZB+2, C, LO) -> conv output (ZB, CO, LO)
     plus the center-row concat (C, ZB*LO) for the residual tap. Uses the
-    z-pair matmul shape when profitable."""
+    z-pair matmul shape when profitable; ``pp`` selects the parity-plane
+    stencils."""
+    if pp:
+        seg, wh, hmax, wmax = (h // 2) * (w // 2), w // 2, h // 2, w // 2
+
+        def stencil(bases):
+            return _stencil9_pp(bases, c, lo, seg, wh, hmax, compute_dtype, interpret)
+
+        def dxc(m3, nseg):
+            return _dx_combine_pp(m3, c_out, nseg, lo, seg, wh, wmax, interpret)
+    else:
+        def stencil(bases):
+            return _stencil9(bases, c, zb, lo, wp, compute_dtype, interpret)
+
+        def dxc(m3, nseg):
+            return _dx_combine(m3, c_out, nseg, lo, wp, w)
+
     center = jnp.concatenate([sel[j + 1] for j in range(zb)], axis=-1)
     if _pair_ok(zb, c):
         np_ = zb // 2
@@ -181,12 +310,12 @@ def _conv_core(sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret):
             jnp.concatenate([sel[2 * p + t] for p in range(np_)], axis=-1)
             for t in range(4)
         ]  # (C, NP*LO) x 4 z-row positions
-        patches = _stencil9(bases, c, zb, lo, wp, compute_dtype, interpret)
+        patches = stencil(bases)
         m = jnp.dot(w_ref[...], patches, preferred_element_type=jnp.float32)
         parts = [
-            _dx_combine(
+            dxc(
                 jax.lax.slice(m, (q * 3 * c_out, 0), ((q + 1) * 3 * c_out, np_ * lo)),
-                c_out, np_, lo, wp, w,
+                np_,
             )
             for q in range(2)
         ]  # part q: output slices 2p+q, segments p
@@ -199,9 +328,9 @@ def _conv_core(sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret):
         full_for_stats = jnp.concatenate(parts, axis=-1)
         return out, full_for_stats, center
     bases = _dz_bases(sel, zb, lo)
-    patches9 = _stencil9(bases, c, zb, lo, wp, compute_dtype, interpret)
+    patches9 = stencil(bases)
     m3 = jnp.dot(w_ref[...], patches9, preferred_element_type=jnp.float32)
-    acc = _dx_combine(m3, c_out, zb, lo, wp, w)
+    acc = dxc(m3, zb)
     return _stack_z(acc, c_out, zb, lo), acc, center
 
 
@@ -270,6 +399,7 @@ def _kernel(
     residual: bool,
     compute_dtype,
     interpret: bool,
+    pp: bool = False,
 ):
     if residual:
         (x0, x1, x2, a_ref, b_ref, w_ref, wr_ref,
@@ -277,13 +407,13 @@ def _kernel(
     else:
         x0, x1, x2, a_ref, b_ref, w_ref, o_ref, s_ref, ss_ref = refs
     zblk = pl.program_id(1)
-    lo = h * wp
+    lo = h * wp if not pp else h * w
 
     sel = _sel_rows(x0, x1, x2, zb).astype(jnp.float32)  # (ZB+2, C, LO)
     if input_act == "affine_leaky":
         sel = sel * a_ref[0][None] + b_ref[0][None]
         sel = jnp.where(sel >= 0, sel, LEAKY_SLOPE * sel)
-    if wp == w:  # compact: every lane is a real voxel, only z needs masking
+    if pp or wp == w:  # compact/pp: every lane is a real voxel
         sel = jnp.where(_zvalid(zblk, zb, d, c, lo), sel, 0.0)
     else:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, c, lo), 2)
@@ -297,7 +427,8 @@ def _kernel(
         sel = sel.astype(compute_dtype)
 
     out, acc, center = _conv_core(
-        sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret
+        sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret,
+        pp=pp, h=h,
     )
     o_ref[...] = out.astype(o_ref.dtype)[None]
 
@@ -332,7 +463,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "input_act", "residual", "out_dtype", "interpret"),
+    static_argnames=("h", "w", "input_act", "residual", "out_dtype", "interpret", "pp"),
 )
 def conv3x3x3_of(
     x: jax.Array,  # output-form (B, D, C, H*WP)
@@ -347,6 +478,7 @@ def conv3x3x3_of(
     residual: bool = False,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    pp: bool = False,  # parity-plane lane convention (see _pp_ok)
 ):
     """Fused conv. Returns (out, s, ss) or (out, s, ss, res, rs, rss) with
     ``residual=True``. ``s``/``ss`` are (B, CO, 128) lane-broadcast sums /
@@ -354,6 +486,7 @@ def conv3x3x3_of(
     bsz, d, c, lo = x.shape
     wp = w if lo == h * w else _wp(w)  # compact vs padded lane convention
     assert lo == h * wp, (lo, h, w, wp)
+    assert not pp or _pp_ok(h, w)
     c_out = wmat.shape[0] // 3
     compute_dtype = wmat.dtype
     zb = _zb_for(d, c)
@@ -401,6 +534,7 @@ def conv3x3x3_of(
         residual=residual,
         compute_dtype=compute_dtype,
         interpret=interpret,
+        pp=pp,
     )
     return pl.pallas_call(
         kern,
@@ -418,14 +552,14 @@ def _combine_kernel(
     ay_ref, by_ref, ax_ref, bx_ref, w_ref, wr_ref,
     o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref,
     *, c_half: int, c_out: int, h: int, w: int, wp: int, d: int, zb: int,
-    compute_dtype, interpret: bool,
+    compute_dtype, interpret: bool, pp: bool = False,
 ):
     """conv3x3x3 over the 2*c_half-channel concat [up ; leaky(ay*y+by+ax*x+bx)]
     with the skip-combine computed on rows in VMEM (kills the standalone
     enc1-combine + concat HBM passes of the v2 serving path). Residual 1x1
     tap + two-phase-norm statistics as in ``_kernel``; multi-z blocked."""
     zblk = pl.program_id(1)
-    lo = h * wp
+    lo = h * wp if not pp else h * w
     c = 2 * c_half
 
     u_sel = _sel_rows(up0, up1, up2, zb).astype(jnp.float32)  # (ZB+2, CH, LO)
@@ -439,7 +573,7 @@ def _combine_kernel(
     )
     comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
     sel = jnp.concatenate([u_sel, comb], axis=1)  # (ZB+2, C, LO)
-    if wp == w:  # compact: every lane is a real voxel, only z needs masking
+    if pp or wp == w:  # compact/pp: every lane is a real voxel
         sel = jnp.where(_zvalid(zblk, zb, d, c, lo), sel, 0.0)
     else:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, c, lo), 2)
@@ -451,7 +585,8 @@ def _combine_kernel(
         sel = sel.astype(compute_dtype)
 
     out, acc, center = _conv_core(
-        sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret
+        sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret,
+        pp=pp, h=h,
     )
     o_ref[...] = out.astype(o_ref.dtype)[None]
 
@@ -474,7 +609,7 @@ def _combine_kernel(
     accumulate_stats(acc, s_ref, ss_ref)
 
     res = jnp.dot(wr_ref[...], center, preferred_element_type=jnp.float32)
-    if wp != w:
+    if not pp and wp != w:
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, zb * lo), 1)
         out_valid = ((out_lane % wp) >= 1) & ((out_lane % wp) < w + 1)
         res = jnp.where(out_valid, res, 0.0)
@@ -483,7 +618,7 @@ def _combine_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "out_dtype", "interpret")
+    jax.jit, static_argnames=("h", "w", "out_dtype", "interpret", "pp")
 )
 def conv3x3x3_of_combine(
     up: jax.Array,  # (B, D, C_half, LO) raw transpose-conv output rows
@@ -500,6 +635,7 @@ def conv3x3x3_of_combine(
     w: int,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    pp: bool = False,
 ):
     """Fused UnetrUpBlock entry conv for the full-res decoder stage: builds
     the [up ; enc1-combined] 2*C_half-channel input inline from the up /
@@ -530,7 +666,7 @@ def conv3x3x3_of_combine(
     kern = functools.partial(
         _combine_kernel,
         c_half=c_half, c_out=c_out, h=h, w=w, wp=wp, d=d, zb=zb,
-        compute_dtype=compute_dtype, interpret=interpret,
+        compute_dtype=compute_dtype, interpret=interpret, pp=pp,
     )
     return pl.pallas_call(
         kern,
@@ -661,6 +797,35 @@ def convt_expand_of(
     wp = _wp(s2)
     T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, 0), (1, wp - s2 - 1)))
     return T.reshape(b, s2, co, s2 * wp)
+
+
+def convt_expand_pp(
+    t_of: jax.Array,  # (B, S, C_in, S*S) low-res COMPACT of-form
+    convt_params: dict,  # {"kernel": (2,2,2,CO,CI), "bias": (CO,)}
+    dtype,
+) -> jax.Array:
+    """ConvTranspose(k=2, s=2) straight into the PARITY-PLANE layout:
+    output (B, 2S, CO, 4*S*S) where plane (j, l) of slice z=2d+i is the
+    (i, j, l) filter tap of input slice d — a pure matmul output slice.
+
+    One stacked dot ((8*CO, CI) x (CI, S*S) per (b, d)) plus ONE
+    major-dims-only transpose; no interleaved-lane relayout at all (the
+    compact-convention einsum+pad+copy chain cost ~8 ms/batch in the
+    round-2 SWI trace). Input is the 48^3 decoder's native of-form output,
+    so the NDHWC round-trip disappears too."""
+    b, s, ci, seg = t_of.shape
+    kern = convt_params["kernel"]  # (2, 2, 2, CO, CI) torch orientation
+    bias = convt_params["bias"]
+    co = kern.shape[3]
+    k8 = kern.reshape(8 * co, ci).astype(t_of.dtype)  # rows (i, j, l, co)
+    b8 = jnp.tile(bias.astype(jnp.float32), 8)  # co fastest, like k8's rows
+    m = jnp.einsum(
+        "tc,bdcl->btdl", k8, t_of, preferred_element_type=jnp.float32
+    )  # (B, 8CO, S, SEG) — lanes untouched, major-dims transpose only
+    m = m + b8[None, :, None, None]
+    m = m.reshape(b, 2, 4, co, s, seg)  # (B, i, (j,l), CO, S, SEG)
+    m = m.transpose(0, 4, 1, 3, 2, 5)  # (B, S, i, CO, (j,l), SEG)
+    return m.reshape(b, 2 * s, co, 4 * seg).astype(dtype)
 
 
 def norm_affine_from_stats(

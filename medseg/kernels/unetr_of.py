@@ -31,13 +31,16 @@ import numpy as np
 
 from medseg.kernels.conv3d import _wp, weight_matrix
 from medseg.kernels.conv_of import (
+    _pp_ok,
     conv3x3x3_of,
     conv3x3x3_of_combine,
     convt_expand_of,
+    convt_expand_pp,
     from_output_form,
     outhead_of,
     res_weight,
     to_output_form,
+    to_pp,
 )
 from medseg.models.blocks import (
     LEAKY_SLOPE,
@@ -100,6 +103,7 @@ def up_block_of(
     features: int,
     dtype,
     interpret: bool = False,
+    return_of: bool = False,  # return the COMPACT of-form (B, D, C, H*W)
 ):
     """UnetrUpBlock via conv_of: ConvTranspose (XLA) -> concat -> fused
     res block (conv1+residual tap, conv2, two-phase norms) -> NDHWC out.
@@ -143,7 +147,10 @@ def up_block_of(
         + a3[:, None] * res.astype(jnp.float32)
         + b3[:, None]
     )
-    return from_output_form((out * mask).astype(dtype), h, w)
+    out = (out * mask).astype(dtype)
+    if return_of:
+        return out
+    return from_output_form(out, h, w)
 
 
 def fast_apply_v2(
@@ -342,6 +349,7 @@ def fast_apply_v3(
     channels_first: bool = False,
     flat_k16: bool = False,
     out_scale: jax.Array | None = None,  # (B, D, H, W, 1) fp32 blend weight
+    pp: bool = False,  # parity-plane full-res layout (serving: ppk scatter)
 ):
     """Third-generation serving forward: everything at >= 48^3 resolution is
     Pallas output-form kernels; XLA keeps only the ViT + <= 24^3 stages and
@@ -380,25 +388,31 @@ def fast_apply_v3(
     x_off = _x_off(h, w)
     n_classes = p["out"]["conv"]["kernel"].shape[-1]
 
+    pp = pp and _pp_ok(h, w)
+    to_of = (lambda t, dt: to_pp(t, dt)) if pp else to_output_form
+
     enc2, dec2 = _xla_stages(model, p, x)
-    dec1 = up_block_of(p["decoder3"], dec2, enc2, fs * 2, dtype, interpret=interpret)
+    dec1 = up_block_of(
+        p["decoder3"], dec2, enc2, fs * 2, dtype, interpret=interpret,
+        return_of=pp,
+    )
 
     # ---- full-resolution chain, all output-form ----
     e1 = p["encoder1"]["layer"]
-    x_of = to_output_form(x.astype(dtype), dtype)  # (B, D, 1, LO)
+    x_of = to_of(x.astype(dtype), dtype)  # (B, D, 1, LO)
 
     # enc1.conv1 (C_in=1) as a kernel; stats for norm1 from the epilogue
     y1, s1, ss1 = conv3x3x3_of(
         x_of, weight_matrix(e1["conv1"]["conv"]["kernel"], dtype),
         None, None, h=h, w=w, input_act="none", out_dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, pp=pp,
     )
     a1, b1 = _affine(s1[..., 0], ss1[..., 0], e1["norm1"], n_valid)
 
     y2, s2, ss2 = conv3x3x3_of(
         y1, weight_matrix(e1["conv2"]["conv"]["kernel"], dtype),
         a1, b1, h=h, w=w, input_act="affine_leaky", out_dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, pp=pp,
     )
     a2, b2 = _affine(s2[..., 0], ss2[..., 0], e1["norm2"], n_valid)
 
@@ -414,19 +428,22 @@ def fast_apply_v3(
 
     # decoder2: transpose conv straight to output-form, then the fused
     # combine+concat+conv kernel, then conv2, then the out-head kernel
-    up_of = convt_expand_of(dec1, p["decoder2"]["transp_conv"]["convt"], dtype)
+    if pp:
+        up_of = convt_expand_pp(dec1, p["decoder2"]["transp_conv"]["convt"], dtype)
+    else:
+        up_of = convt_expand_of(dec1, p["decoder2"]["transp_conv"]["convt"], dtype)
     d2 = p["decoder2"]["conv_block"]
     z1, zs1, zss1, res, rs, rss = conv3x3x3_of_combine(
         up_of, y2, x_of, a2, b2, ax, b3,
         weight_matrix(d2["conv1"]["conv"]["kernel"], dtype),
         res_weight(d2["conv3"]["conv"]["kernel"], dtype),
-        h=h, w=w, out_dtype=dtype, interpret=interpret,
+        h=h, w=w, out_dtype=dtype, interpret=interpret, pp=pp,
     )
     za1, zb1 = _affine(zs1[..., 0], zss1[..., 0], d2["norm1"], n_valid)
     z2, zs2, zss2 = conv3x3x3_of(
         z1, weight_matrix(d2["conv2"]["conv"]["kernel"], dtype),
         za1, zb1, h=h, w=w, input_act="affine_leaky", out_dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, pp=pp,
     )
     za2, zb2 = _affine(zs2[..., 0], zss2[..., 0], d2["norm2"], n_valid)
     za3, zb3 = _affine(rs[..., 0], rss[..., 0], d2["norm3"], n_valid)
@@ -438,13 +455,24 @@ def fast_apply_v3(
     bias = jnp.zeros((co_pad, 1), jnp.float32).at[:n_classes, 0].set(
         p["out"]["conv"]["bias"].astype(jnp.float32)
     )
-    scale_of = None if out_scale is None else to_output_form(out_scale, jnp.float32)
+    scale_of = None if out_scale is None else to_of(out_scale, jnp.float32)
     logits_of = outhead_of(
         z2, res, za2, zb2, za3, zb3, k_out, bias, scale_of,
         out_dtype=jnp.bfloat16 if flat_k16 else jnp.float32,
         interpret=interpret,
     )  # (B, D, CO_pad, LO)
 
+    if pp and flat_k16:
+        # ppk window: (B, D, 4, H/2, (W/2)*K16) — one minor-pair transpose
+        # then free reshapes; planes deinterleave once per VOLUME at the end
+        return logits_of.swapaxes(2, 3).reshape(
+            b, d, 4, h // 2, (w // 2) * co_pad
+        )
+    if pp:
+        from medseg.kernels.conv_of import from_pp
+
+        out = from_pp(logits_of, h, w)[..., :n_classes]
+        return out.transpose(0, 1, 4, 2, 3) if channels_first else out
     if flat_k16 and wp == w:
         # keep ALL padded channels: the flat-K16 accumulator wants (B, D, H,
         # W, K16) with K16 = co_pad. In the compact convention this is ONE

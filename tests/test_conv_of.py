@@ -247,3 +247,113 @@ def test_fast_apply_v3_full_model_parity(rng, out_form):
         got = got[..., :3].astype(jnp.float32)
     tol = 5e-2 if out_form.startswith("flatk16") else 2e-3  # bf16 out quant
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=tol, atol=tol)
+
+
+# ---- parity-plane (PP) lane convention ----
+
+PPH = PPW = 32  # (16*16) plane segment = 256 lanes, _pp_ok
+
+
+def test_pp_roundtrip(rng):
+    from medseg.kernels.conv_of import from_pp, to_pp
+
+    x = jnp.asarray(rng.normal(size=(2, 4, PPH, PPW, 8)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(from_pp(to_pp(x), PPH, PPW)), np.asarray(x))
+
+
+def test_conv_of_pp_matches_xla(rng):
+    from medseg.kernels.conv_of import to_pp, from_pp
+
+    x = jnp.asarray(rng.normal(size=(2, 8, PPH, PPW, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 8)).astype(np.float32) * 0.2)
+    a = jnp.asarray(rng.normal(size=(2, 8, 1)).astype(np.float32))
+    bb = jnp.asarray(rng.normal(size=(2, 8, 1)).astype(np.float32))
+    out, s, ss = conv3x3x3_of(
+        to_pp(x), weight_matrix(k, jnp.float32), a, bb,
+        h=PPH, w=PPW, input_act="affine_leaky", out_dtype=jnp.float32,
+        interpret=True, pp=True,
+    )
+    xt = x * a[:, None, None, None, :, 0] + bb[:, None, None, None, :, 0]
+    xt = jnp.where(xt >= 0, xt, LEAKY_SLOPE * xt)
+    ref = _xla_conv(xt, k)
+    np.testing.assert_allclose(from_pp(out, PPH, PPW), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(s[..., 0], jnp.sum(ref, axis=(1, 2, 3)), rtol=1e-3)
+
+
+def test_conv_of_combine_pp_matches_explicit(rng):
+    from medseg.kernels.conv_of import conv3x3x3_of_combine, to_pp, from_pp
+
+    c = 8
+    up = jnp.asarray(rng.normal(size=(2, 8, PPH, PPW, c)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, 8, PPH, PPW, c)).astype(np.float32))
+    x1 = jnp.asarray(rng.normal(size=(2, 8, PPH, PPW, 1)).astype(np.float32))
+    ay = jnp.asarray(rng.normal(size=(2, c, 1)).astype(np.float32))
+    by = jnp.asarray(rng.normal(size=(2, c, 1)).astype(np.float32))
+    ax = jnp.asarray(rng.normal(size=(2, c, 1)).astype(np.float32))
+    bx = jnp.asarray(rng.normal(size=(2, c, 1)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 2 * c, 8)).astype(np.float32) * 0.2)
+    k3 = jnp.asarray(rng.normal(size=(1, 1, 1, 2 * c, 8)).astype(np.float32))
+    out, s, ss, res, rs, rss = conv3x3x3_of_combine(
+        to_pp(up), to_pp(y), to_pp(x1), ay, by, ax, bx,
+        weight_matrix(k, jnp.float32), res_weight(k3, jnp.float32),
+        h=PPH, w=PPW, out_dtype=jnp.float32, interpret=True, pp=True,
+    )
+    comb = (
+        y * ay[:, None, None, None, :, 0] + by[:, None, None, None, :, 0]
+        + x1 * ax[:, None, None, None, :, 0] + bx[:, None, None, None, :, 0]
+    )
+    comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
+    cat = jnp.concatenate([up, comb], axis=-1)
+    ref = _xla_conv(cat, k)
+    ref_res = jnp.einsum("bdhwc,ck->bdhwk", cat, k3[0, 0, 0])
+    np.testing.assert_allclose(from_pp(out, PPH, PPW), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(from_pp(res, PPH, PPW), ref_res, rtol=1e-4, atol=1e-4)
+
+
+def test_convt_expand_pp_matches_module(rng):
+    from medseg.kernels.conv_of import convt_expand_pp, from_pp, to_output_form
+    from medseg.models.blocks import ConvTranspose3d
+
+    s, ci, co = 16, 6, 8  # output 32^3: PP plane segment 256
+    t = jnp.asarray(rng.normal(size=(2, s, s, s, ci)).astype(np.float32))
+    m = ConvTranspose3d(co)
+    params = m.init(jax.random.key(1), t)
+    ref = m.apply(params, t)
+    t_of = to_output_form(t)  # compact: 16*16=256 lanes ok
+    got = convt_expand_pp(t_of, params["params"]["convt"], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(from_pp(got, 2 * s, 2 * s)), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("out_form", ["pp_ndhwc", "ppk16"])
+def test_fast_apply_v3_pp_parity(rng, out_form):
+    """Parity-plane full-res chain (pp=True): NDHWC output and the ppk16
+    window form both reproduce the flax forward."""
+    from medseg.kernels.unetr_of import fast_apply_v3
+
+    model = UNETR(
+        in_channels=1, out_channels=3, img_size=(32, 32, 32),
+        feature_size=8, hidden_size=24, mlp_dim=48, num_heads=4,
+        num_layers=4, patch_size=16,
+    )
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    ref = model.apply(params, x, return_encoder_features=False)
+    scale = jnp.asarray(rng.uniform(0.2, 1.0, size=(1, 32, 32, 32, 1)).astype(np.float32))
+    if out_form == "pp_ndhwc":
+        got = fast_apply_v3(model, params, x, interpret=True, pp=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    else:
+        got = fast_apply_v3(
+            model, params, x, interpret=True, pp=True, flat_k16=True,
+            out_scale=scale,
+        )
+        assert got.shape == (1, 32, 4, 16, 16 * 8) and got.dtype == jnp.bfloat16
+        # deinterleave the parity planes, crop pad channels
+        g = got.reshape(1, 32, 2, 2, 16, 16, 8)
+        g = g.transpose(0, 1, 4, 2, 5, 3, 6).reshape(1, 32, 32, 32, 8)
+        want = np.asarray(ref * scale)
+        np.testing.assert_allclose(
+            np.asarray(g[..., :3], dtype=np.float32), want, rtol=5e-2, atol=5e-2
+        )

@@ -223,3 +223,30 @@ def test_flatk_bf16_accumulator_close(rng):
     assert got.dtype == jnp.float32
     scale = float(np.max(np.abs(np.asarray(ref))))
     assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.03 * scale
+
+
+def test_ppk_layout_matches_ndhwc(rng):
+    """out_layout="ppk": parity-plane windows + accumulator blend identically
+    to the NDHWC reference (one deinterleave per volume)."""
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, sw_batch=4, mode="gaussian")
+    k16 = 8
+
+    def apply_pp(params, windows, wgt):
+        lg = jnp.einsum("bdhwc,ck->bdhwk", windows, params) * wgt
+        lg = jnp.pad(lg, [(0, 0)] * 4 + [(0, k16 - lg.shape[-1])])
+        b, rd, rh, rw, _ = lg.shape
+        g = lg.reshape(b, rd, rh // 2, 2, rw // 2, 2, k16)
+        return g.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            b, rd, 4, rh // 2, (rw // 2) * k16
+        )
+
+    ref = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec
+    )
+    got = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), apply_pp, 5, spec,
+        out_layout="ppk", apply_takes_weight=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
