@@ -41,7 +41,7 @@ VOLUME_SHAPE = (512, 512, 160)
 ROI = 96
 N_CLASSES = 14
 OVERLAP = 0.5
-SW_BATCH = 8
+SW_BATCH = int(os.environ.get("BENCH_SWB", "8"))
 WARMUP = 1
 ITERS = 3
 
