@@ -60,7 +60,7 @@ def main() -> None:
     # channel-first logits feeding a channel-first SWI accumulator (no
     # per-window transpose); "2" = v2 fused forward; "1" = round-1 flat-lane
     # forward; "0" = plain XLA. All parity-tested in tests/test_conv_of.py.
-    fast = os.environ.get("BENCH_FAST", "4")
+    fast = os.environ.get("BENCH_FAST", "5")
     out_layout = "ndhwc"
     if fast == "5":
         # v3 + PARITY-PLANE full-res layout: the transpose-conv writes its

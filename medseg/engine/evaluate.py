@@ -82,14 +82,12 @@ class Validator:
             from medseg.kernels.conv_of import _pp_ok
             from medseg.kernels.unetr_of import fast_apply_v3
 
-            # flatk measured marginally faster than the parity-plane ppk
-            # end-to-end (0.815 vs 0.805 vol/s: ppk removes the convt
-            # relayouts but pays more in stencil taps + a more fragmented
-            # scatter, docs/PERF_NOTES.md) — flat scatter is the default,
-            # ppk stays available via out_layout
-            self._pp_model = False
-            _ = _pp_ok  # ppk opt-in retained
-            self._out_layout = "flatk"
+            # parity-plane scatter by default where the roi admits it:
+            # with aligned plane-slice tap builds it measures 0.90 vs 0.82
+            # vol/s for flatk (docs/PERF_NOTES.md ledger). Per-volume grids
+            # that don't preserve parity fall back to flatk in infer_volume.
+            self._pp_model = _pp_ok(spec.roi[1], spec.roi[2])
+            self._out_layout = "ppk" if self._pp_model else "flatk"
             self._apply_takes_weight = True
             self._acc_dtype = "bf16"
             pp = self._pp_model

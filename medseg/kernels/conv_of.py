@@ -196,28 +196,36 @@ def _roll_to(base, delta: int, interpret: bool):
 
 
 def _dy_taps_pp(base, dy: int, lo: int, seg: int, wh: int, hmax: int, interpret):
-    """PP tap for y+dy (dy = +-1) over a (C, N_SEG*LO) base: the source
-    plane row flips parity, so each tap is two plane-masked rolls.
+    """PP tap for y+dy (dy = +-1) over a (C, N_SEG*LO) base.
 
-    dy=-1: out j=0 <- (j'=1, hh-1): delta = +2*SEG - WH  (invalid at hh=0)
-           out j=1 <- (j'=0, hh):   delta = -2*SEG
-    dy=+1: out j=0 <- (j'=1, hh):   delta = +2*SEG
-           out j=1 <- (j'=0, hh+1): delta = -2*SEG + WH (invalid at hh=max)
+    The source plane row flips parity: half of each tap is a PURE
+    plane-group slice (128-aligned: 2*SEG is a lane-tile multiple — no VPU
+    shuffle), the other half a roll by WH of the opposite half-width group
+    with an hh-edge mask. Output plane order is [j=0 group ; j=1 group] per
+    z-segment, reassembled by aligned concat.
+
+    dy=-1: out j=0 <- (j'=1, hh-1): roll(j1 group, +WH), mask hh>=1
+           out j=1 <- (j'=0, hh):   j0 group verbatim
+    dy=+1: out j=0 <- (j'=1, hh):   j1 group verbatim
+           out j=1 <- (j'=0, hh+1): roll(j0 group, -WH), mask hh<max-1
     """
     c, width = base.shape
-    j, _, hh, _ = _pp_masks(c, width, lo, seg, wh)
-    zero = jnp.zeros_like(base)
-    if dy == -1:
-        a = _roll_to(base, 2 * seg - wh, interpret)
-        a = jnp.where((j == 0) & (hh >= 1), a, zero)
-        b = _roll_to(base, -2 * seg, interpret)
-        b = jnp.where(j == 1, b, zero)
-    else:
-        a = _roll_to(base, 2 * seg, interpret)
-        a = jnp.where(j == 0, a, zero)
-        b = _roll_to(base, -2 * seg + wh, interpret)
-        b = jnp.where((j == 1) & (hh < hmax - 1), b, zero)
-    return a + b
+    nseg = width // lo
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (c, 2 * seg), 1)
+    hh_pos = (lane2 % seg) // wh
+    out = []
+    for s in range(nseg):
+        j0 = jax.lax.slice(base, (0, s * lo), (c, s * lo + 2 * seg))
+        j1 = jax.lax.slice(base, (0, s * lo + 2 * seg), (c, s * lo + 4 * seg))
+        if dy == -1:
+            a = _roll_lanes(j1, wh, interpret)  # content[hh] = j1[hh-1]
+            a = jnp.where(hh_pos >= 1, a, jnp.zeros_like(a))
+            out.extend([a, j0])
+        else:
+            b = _roll_lanes(j0, 2 * seg - wh, interpret)  # content[hh] = j0[hh+1]
+            b = jnp.where(hh_pos < hmax - 1, b, jnp.zeros_like(b))
+            out.extend([j1, b])
+    return jnp.concatenate(out, axis=-1)
 
 
 def _stencil9_pp(bases, c: int, lo: int, seg: int, wh: int, hmax: int,
@@ -234,29 +242,34 @@ def _stencil9_pp(bases, c: int, lo: int, seg: int, wh: int, hmax: int,
 def _dx_combine_pp(m3, c_out: int, nseg: int, lo: int, seg: int, wh: int,
                    wmax: int, interpret):
     """PP analogue of _dx_combine: the three dx tap rows move across the
-    l-parity planes (two plane-masked rolls each for dx != 0) and sum."""
+    l-parity planes. As in _dy_taps_pp, half of each dx!=0 tap is a pure
+    aligned plane slice (SEG is a lane-tile multiple) and the other half a
+    +-1 roll of a single plane with a ww-edge mask; aligned concats
+    reassemble the [l=0 ; l=1] plane order within each j-group."""
     width = nseg * lo
-    j, l, hh, ww = _pp_masks(c_out, width, lo, seg, wh)
-    zero = None
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (c_out, seg), 1)
+    ww_pos = lane1 % wh
     acc = None
     for dx in range(3):
         m = jax.lax.slice(m3, (dx * c_out, 0), ((dx + 1) * c_out, width))
         if dx == 1:
             piece = m
         else:
-            if zero is None:
-                zero = jnp.zeros_like(m)
-            if dx == 0:  # left tap: out x gets source x-1
-                a = _roll_to(m, seg - 1, interpret)   # l=0 <- (l'=1, ww-1)
-                a = jnp.where((l == 0) & (ww >= 1), a, zero)
-                b = _roll_to(m, -seg, interpret)      # l=1 <- (l'=0, ww)
-                b = jnp.where(l == 1, b, zero)
-            else:  # dx == 2, right tap: out x gets source x+1
-                a = _roll_to(m, seg, interpret)       # l=0 <- (l'=1, ww)
-                a = jnp.where(l == 0, a, zero)
-                b = _roll_to(m, -seg + 1, interpret)  # l=1 <- (l'=0, ww+1)
-                b = jnp.where((l == 1) & (ww < wmax - 1), b, zero)
-            piece = a + b
+            groups = []
+            for g in range(2 * nseg):  # j-groups of [l0-plane ; l1-plane]
+                l0 = jax.lax.slice(m, (0, g * 2 * seg), (c_out, g * 2 * seg + seg))
+                l1 = jax.lax.slice(
+                    m, (0, g * 2 * seg + seg), (c_out, g * 2 * seg + 2 * seg)
+                )
+                if dx == 0:  # left tap: out l=0 <- (l'=1, ww-1); out l=1 <- l0
+                    a = _roll_lanes(l1, 1, interpret)
+                    a = jnp.where(ww_pos >= 1, a, jnp.zeros_like(a))
+                    groups.extend([a, l0])
+                else:  # right tap: out l=0 <- (l'=1, ww); out l=1 <- (l0, ww+1)
+                    b = _roll_lanes(l0, seg - 1, interpret)
+                    b = jnp.where(ww_pos < wmax - 1, b, jnp.zeros_like(b))
+                    groups.extend([l1, b])
+            piece = jnp.concatenate(groups, axis=-1)
         acc = piece if acc is None else acc + piece
     return acc
 
