@@ -118,7 +118,9 @@ def main() -> None:
         return sliding_window_inference(
             params, volume, apply_fn, N_CLASSES, spec, out_layout=out_layout,
             apply_takes_weight=fast in ("4", "5"),
-            acc_dtype="bf16" if fast in ("4", "5") else "fp32",
+            acc_dtype=os.environ.get(
+                "BENCH_ACC", "bf16" if fast in ("4", "5") else "fp32"
+            ),
         )
 
     def sync(x):

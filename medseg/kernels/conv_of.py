@@ -179,22 +179,6 @@ def from_pp(o: jax.Array, h: int, w: int) -> jax.Array:
     return o.transpose(0, 1, 5, 3, 6, 4, 2).reshape(b, d, h, w, c)
 
 
-def _pp_masks(c: int, width: int, lo: int, seg: int, wh: int):
-    """Lane classification for PP stencils: plane row (j), plane col (l),
-    hh and ww within the plane. ``wh`` = W/2 (plane row length)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (c, width), 1)
-    sl = lane % lo  # position within one z-segment
-    plane = sl // seg
-    off = sl % seg
-    return plane // 2, plane % 2, off // wh, off % wh  # j, l, hh, ww
-
-
-def _roll_to(base, delta: int, interpret: bool):
-    """out[L] = base[L + delta] (cyclic)."""
-    width = base.shape[-1]
-    return _roll_lanes(base, (width - delta) % width, interpret)
-
-
 def _dy_taps_pp(base, dy: int, lo: int, seg: int, wh: int, hmax: int, interpret):
     """PP tap for y+dy (dy = +-1) over a (C, N_SEG*LO) base.
 
