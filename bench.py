@@ -41,7 +41,11 @@ VOLUME_SHAPE = (512, 512, 160)
 ROI = 96
 N_CLASSES = 14
 OVERLAP = 0.5
-SW_BATCH = int(os.environ.get("BENCH_SWB", "8"))
+# sw_batch sweep on the round-2 ppk pipeline: 2 -> 0.857, 4 -> 0.941,
+# 8 -> 0.903, 12 -> 0.767 vol/s. 4 balances model batching against scatter
+# serialization and memory pressure (and matches MONAI's own
+# sw_batch_size=4 default at unetr_segmentation_3d.py:109).
+SW_BATCH = int(os.environ.get("BENCH_SWB", "4"))
 WARMUP = 1
 ITERS = 3
 
