@@ -46,6 +46,7 @@ OVERLAP = 0.5
 # serialization and memory pressure (and matches MONAI's own
 # sw_batch_size=4 default at unetr_segmentation_3d.py:109).
 SW_BATCH = int(os.environ.get("BENCH_SWB", "4"))
+DEFAULT_FAST = "6"  # zrow pipeline (ops/swi_zrow.py)
 WARMUP = 1
 ITERS = 3
 
@@ -60,13 +61,23 @@ def main() -> None:
     x_init = jnp.zeros((SW_BATCH, ROI, ROI, ROI, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), x_init)
 
-    # Fast path selection: "3" (default) = v3 output-form fused forward with
-    # channel-first logits feeding a channel-first SWI accumulator (no
-    # per-window transpose); "2" = v2 fused forward; "1" = round-1 flat-lane
-    # forward; "0" = plain XLA. All parity-tested in tests/test_conv_of.py.
-    fast = os.environ.get("BENCH_FAST", "5")
+    # Fast path selection: "6" (default) = v3 fused forward + z-row walk with
+    # deferred overlap-add (no scatter at all, ops/swi_zrow.py); "5" = v3 +
+    # parity-plane scatter ("ppk"); "4" = v3 + flat-K16 scatter; "3" = v3
+    # channel-first; "2" = v2 fused forward; "0" = plain XLA. All
+    # parity-tested in tests/test_conv_of.py + tests/test_swi_zrow.py.
+    fast = os.environ.get("BENCH_FAST", DEFAULT_FAST)
     out_layout = "ndhwc"
-    if fast == "5":
+    if fast == "6":
+        from medseg.kernels.unetr_of import fast_apply_v3
+
+        out_layout = "zrow"
+
+        def apply_fn(p, windows, wgt):
+            return fast_apply_v3(
+                model, p, windows, flat_k16=True, out_scale=wgt, pp=True
+            )
+    elif fast == "5":
         # v3 + PARITY-PLANE full-res layout: the transpose-conv writes its
         # four (y, x)-parity planes as direct matmul slices (no interleaved
         # relayout), the scatter accumulates in plane order, one
@@ -101,11 +112,6 @@ def main() -> None:
 
         def apply_fn(p, windows):
             return fast_apply_v2(model, p, windows)
-    elif fast == "1":
-        from medseg.kernels.fast_unetr import fast_apply
-
-        def apply_fn(p, windows):
-            return fast_apply(model, p, windows)
     else:
         def apply_fn(p, windows):
             return model.apply(p, windows, return_encoder_features=False)
@@ -118,14 +124,23 @@ def main() -> None:
         jax.random.key(1), VOLUME_SHAPE + (1,), jnp.float32
     )
 
-    def run():
-        return sliding_window_inference(
-            params, volume, apply_fn, N_CLASSES, spec, out_layout=out_layout,
-            apply_takes_weight=fast in ("4", "5"),
-            acc_dtype=os.environ.get(
-                "BENCH_ACC", "bf16" if fast in ("4", "5") else "fp32"
-            ),
-        )
+    acc_dtype = os.environ.get(
+        "BENCH_ACC", "bf16" if fast in ("4", "5", "6") else "fp32"
+    )
+    if fast == "6":
+        from medseg.ops.swi_zrow import sliding_window_inference_zrow
+
+        def run():
+            return sliding_window_inference_zrow(
+                params, volume, apply_fn, N_CLASSES, spec, acc_dtype=acc_dtype
+            )
+    else:
+        def run():
+            return sliding_window_inference(
+                params, volume, apply_fn, N_CLASSES, spec, out_layout=out_layout,
+                apply_takes_weight=fast in ("4", "5"),
+                acc_dtype=acc_dtype,
+            )
 
     def sync(x):
         # device->host fetch of a single element forces completion of the

@@ -133,7 +133,7 @@ def run_stage(
             f"{update_arc} epoch {tracker.iterations}: loss={epoch_loss:.5f} "
             f"time={timer.total:.2f}s"
         )
-    ckpt.save(state)
+    ckpt.save(state, block=True)  # final save: commit before returning
     plot_loss_vs_time(
         os.path.join(out_dir, f"{prefix}_loss_vs_time.png"), epoch_losses, epoch_times
     )

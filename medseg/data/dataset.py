@@ -207,6 +207,7 @@ class DecathlonDataset(ListDataset):
         self.section = section
         key = "test" if section == "test" else "training"
         datalist = load_decathlon_datalist(json_path, True, key)
+        validate_msd_layout(task_dir, meta, datalist)
         super().__init__(self._split_datalist(datalist, seed, val_frac), transform)
 
     def _split_datalist(self, datalist: list[dict], seed: int, val_frac: float):
@@ -218,6 +219,44 @@ class DecathlonDataset(ListDataset):
         val_len = int(len(datalist) * val_frac)
         keep = indices[:val_len] if self.section == "validation" else indices[val_len:]
         return [datalist[i] for i in keep]
+
+
+def validate_msd_layout(task_dir: str, meta: dict, datalist: list[dict]) -> None:
+    """Validate an extracted MSD task directory (the offline stand-in for
+    MONAI ``DecathlonDataset(download=True)``'s download/extract/verify step,
+    `/root/reference/unetr_segmentation_3d.py:525-536`).
+
+    Checks the documented layout (``imagesTr``/``labelsTr`` present, every
+    datalist file on disk, declared ``numTraining`` consistent) and raises a
+    ``RuntimeError`` naming what is missing — the error surface a partially
+    downloaded/extracted task produces.
+    """
+    problems: list[str] = []
+    for sub in ("imagesTr", "labelsTr"):
+        if not os.path.isdir(os.path.join(task_dir, sub)):
+            problems.append(f"missing directory {sub}/")
+    missing_files = []
+    for item in datalist:
+        for k in ("image", "label"):
+            p = item.get(k)
+            if isinstance(p, str) and not os.path.exists(p):
+                missing_files.append(p)
+    if missing_files:
+        shown = ", ".join(os.path.basename(p) for p in missing_files[:5])
+        more = f" (+{len(missing_files) - 5} more)" if len(missing_files) > 5 else ""
+        problems.append(f"{len(missing_files)} datalist files missing: {shown}{more}")
+    declared = meta.get("numTraining")
+    n_train = len(meta.get("training", []))
+    if isinstance(declared, int) and n_train and declared != n_train:
+        problems.append(
+            f"dataset.json declares numTraining={declared} but lists {n_train}"
+        )
+    if problems:
+        raise RuntimeError(
+            f"MSD task at {task_dir} is incomplete or corrupt: "
+            + "; ".join(problems)
+            + ". Re-extract the task archive (download is unsupported offline)."
+        )
 
 
 def decollate_batch(batch: dict) -> list[dict]:

@@ -164,6 +164,26 @@ def _nearest_sample(vol: np.ndarray, coords: np.ndarray) -> np.ndarray:
     return vol[idx[..., 0], idx[..., 1], idx[..., 2]]
 
 
+_warned_numpy_resample = False
+
+
+def _warn_numpy_resample() -> None:
+    """One-time visibility for the GIL-bound numpy fallback: loader worker
+    THREADS are justified by the C++/OpenMP resampler releasing the GIL
+    (data/loader.py); without libmedseg_native.so the pure-numpy resample
+    holds the GIL for seconds per volume and serializes the workers."""
+    global _warned_numpy_resample
+    if not _warned_numpy_resample:
+        _warned_numpy_resample = True
+        import logging
+
+        logging.getLogger("medseg").warning(
+            "medseg.native unavailable — Spacing resampling falls back to "
+            "pure numpy (GIL-bound, ~10x slower; loader worker threads "
+            "serialize). Build medseg/native/libmedseg_native.so."
+        )
+
+
 def _native_resample(data: np.ndarray, matrix: np.ndarray, out_shape, mode: str):
     """OpenMP resampler from medseg/native; None -> numpy fallback."""
     try:
@@ -260,6 +280,7 @@ def respace(
             continue  # resample would be the identity
         res = _native_resample(data, m[:3, :], new_shape, mode)
         if res is None:
+            _warn_numpy_resample()
             grid = np.stack(
                 np.meshgrid(
                     np.arange(new_shape[0]),

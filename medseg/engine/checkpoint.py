@@ -40,7 +40,20 @@ class CheckpointManager:
     def _meta_path(self) -> str:
         return os.path.join(self.directory, "meta.json")
 
-    def save(self, state, *, metrics: dict[str, float] | None = None, name: str = "best") -> str:
+    def save(
+        self,
+        state,
+        *,
+        metrics: dict[str, float] | None = None,
+        name: str = "best",
+        block: bool = False,
+    ) -> str:
+        """Save the full train state. Saves are ASYNC by default (orbax
+        commits in a background thread; SURVEY.md §5 failure-recovery row) so
+        scheduled ``save_latest_every`` saves never stall the step loop; pass
+        ``block=True`` for final/handoff saves. Any still-running previous
+        save is finalized first (orbax requirement; by then it has almost
+        always completed)."""
         path = os.path.join(self.directory, name)
         tree = {
             "step": state.step,
@@ -48,8 +61,10 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "rng": state.rng,
         }
+        self._ckpt.wait_until_finished()  # finalize any in-flight save
         self._ckpt.save(path, tree, force=True)
-        self._ckpt.wait_until_finished()
+        if block:
+            self._ckpt.wait_until_finished()
         if name == "best":  # sidecar metadata tracks the best checkpoint only
             meta = {"step": int(state.step)}
             if metrics:
@@ -59,10 +74,16 @@ class CheckpointManager:
         return path
 
     def exists(self, name: str = "best") -> bool:
+        self._ckpt.wait_until_finished()
         return os.path.isdir(os.path.join(self.directory, name))
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
+        self._ckpt.wait_until_finished()
 
     def restore(self, state, *, name: str = "best"):
         """Restore into the structure of ``state`` (same model/optimizer)."""
+        self._ckpt.wait_until_finished()  # never read a half-written save
         path = os.path.join(self.directory, name)
         template = {
             "step": state.step,

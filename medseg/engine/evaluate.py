@@ -61,6 +61,7 @@ class Validator:
         spec: SlidingWindowSpec,
         *,
         use_fast_path: bool | None = None,
+        acc_dtype: str = "fp32",
         mesh=None,
     ) -> None:
         self.model = model
@@ -70,7 +71,10 @@ class Validator:
         self.mesh = mesh
         self._out_layout = "ndhwc"
         self._apply_takes_weight = False
-        self._acc_dtype = "fp32"
+        # Validation metrics accumulate in fp32 by default (the MONAI-parity
+        # contract); serving/bench opt into acc_dtype="bf16" explicitly
+        # (measured ~0.4% relative blend error, ops/sliding_window.py).
+        self._acc_dtype = acc_dtype
 
         if use_fast_path is None:
             # default ON where it helps: the v3 kernels only engage on TPU
@@ -80,8 +84,17 @@ class Validator:
 
         if use_fast_path:
             from medseg.kernels.conv_of import _pp_ok
-            from medseg.kernels.unetr_of import fast_apply_v3
+            from medseg.kernels.unetr_of import fast_apply_v3, fast_path_supported_v2
 
+            # The fast scatter layouts require the v3 kernel path to engage
+            # for the WINDOW shape (cubic roi >= 48, feature_size % 8 == 0,
+            # <= 64); otherwise fast_apply_v3 falls back to the flax forward
+            # whose output the pp/flat scatters could not consume — stay on
+            # the plain NDHWC path then (round-2 advisor finding).
+            window_shape = (spec.sw_batch, *spec.roi, model.in_channels)
+            use_fast_path = fast_path_supported_v2(model, window_shape)
+
+        if use_fast_path:
             # parity-plane scatter by default where the roi admits it:
             # with aligned plane-slice tap builds it measures 0.90 vs 0.82
             # vol/s for flatk (docs/PERF_NOTES.md ledger). Per-volume grids
@@ -89,7 +102,6 @@ class Validator:
             self._pp_model = _pp_ok(spec.roi[1], spec.roi[2])
             self._out_layout = "ppk" if self._pp_model else "flatk"
             self._apply_takes_weight = True
-            self._acc_dtype = "bf16"
             pp = self._pp_model
 
             def apply_fn(params, windows, wgt):
@@ -143,8 +155,17 @@ class Validator:
         apply_fn = self._apply_fn
         if out_layout == "ppk":
             from medseg.ops.sliding_window import ppk_supported
+            from medseg.ops.swi_zrow import sliding_window_inference_zrow, zrow_supported
 
-            if not ppk_supported(tuple(int(v) for v in image.shape[-4:-1]), spec):
+            spatial = tuple(int(v) for v in image.shape[-4:-1])
+            if zrow_supported(spatial, spec):
+                # z-row walk with deferred overlap-add: same ppk window
+                # contract, no scatter (round-3 serving default)
+                return sliding_window_inference_zrow(
+                    params, image, apply_fn, self.n_classes, spec,
+                    acc_dtype=self._acc_dtype,
+                )
+            if not ppk_supported(spatial, spec):
                 out_layout = "flatk"  # parity not preserved for this grid
                 apply_fn = self._apply_fn_flat
         return sliding_window_inference(

@@ -175,4 +175,6 @@ class TrainLoop:
                         f"Model Not Saved ! Best Dice: {self.best_metric:.5f} "
                         f"Current: {metric:.5f} at step {global_step}"
                     )
+        if self.checkpointer is not None:
+            self.checkpointer.wait()  # commit any in-flight async save
         return state

@@ -1,6 +1,7 @@
 """UNETR serving forward v2 — output-form fused full-resolution chain.
 
-Replaces medseg/kernels/fast_unetr.py as the TPU inference fast path.
+The TPU inference fast path (the round-1 flat-lane forward it replaced was
+removed in round 3).
 Functionally identical to ``UNETR.apply(..., return_encoder_features=False)``
 (topology `/root/reference/unetr.py:182-208`), but the two full-resolution
 stages (encoder1 + decoder2 + out head — 77% of the measured forward,
@@ -54,6 +55,20 @@ from medseg.models.vit import ViT3D
 
 def _leaky(x):
     return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+
+
+def ndhwc_to_pp_windows(out: jax.Array) -> jax.Array:
+    """NDHWC logits (B, D, H, W, K) -> the ppk window form
+    (B, D, 4, H/2, (W/2)*K16) emitted by ``fast_apply_v3(pp=True,
+    flat_k16=True)``: plane index 2j+l for voxel (y, x) = (2hh+j, 2ww+l),
+    classes padded to K16 = max(8, ceil(K/8)*8)."""
+    b, d, h, w, k = out.shape
+    k16 = max(8, -(-k // 8) * 8)
+    if k != k16:
+        out = jnp.pad(out, [(0, 0)] * 4 + [(0, k16 - k)])
+    out = out.reshape(b, d, h // 2, 2, w // 2, 2, k16)
+    out = out.transpose(0, 1, 3, 5, 2, 4, 6)  # (b, d, j, l, hh, ww, k)
+    return out.reshape(b, d, 4, h // 2, (w // 2) * k16)
 
 
 def _lane_mask(h: int, w: int) -> np.ndarray:
@@ -374,7 +389,13 @@ def fast_apply_v3(
         if out_scale is not None:
             out = out * out_scale
         if flat_k16:
-            return out.astype(jnp.bfloat16)
+            # honor the REQUESTED window form even on the flax fallback: the
+            # ppk/flatk sliding-window accumulators consume these layouts
+            # directly and would crash on raw NDHWC (round-2 advisor finding)
+            out = out.astype(jnp.bfloat16)
+            if pp:
+                return ndhwc_to_pp_windows(out)
+            return out
         return out.transpose(0, 1, 4, 2, 3) if channels_first else out
 
     from medseg.kernels.conv_of import _lanes_row, _x_off

@@ -66,21 +66,26 @@ def _scan_interval(image_size: Sequence[int], roi: Sequence[int], overlap: float
     return tuple(out)
 
 
-def compute_window_starts(
+def per_dim_window_starts(
     image_size: Sequence[int], roi: Sequence[int], overlap: float
-) -> np.ndarray:
-    """Dense window-start grid, MONAI ``dense_patch_slices`` semantics.
-
-    Starts are ``k * interval`` clipped to ``dim - roi``; duplicate trailing
-    starts are removed (they only rescale the count map, output unchanged).
-    Returns (N, 3) int32.
-    """
+) -> list[np.ndarray]:
+    """Per-dimension window starts, MONAI ``dense_patch_slices`` semantics:
+    ``k * interval`` clipped to ``dim - roi``, duplicates removed."""
     intervals = _scan_interval(image_size, roi, overlap)
     per_dim = []
     for dim, r, step in zip(image_size, roi, intervals):
         n = int(math.ceil((dim - r) / step)) + 1
         starts = np.minimum(np.arange(n) * step, dim - r)
-        per_dim.append(np.unique(starts))
+        per_dim.append(np.unique(starts).astype(np.int64))
+    return per_dim
+
+
+def compute_window_starts(
+    image_size: Sequence[int], roi: Sequence[int], overlap: float
+) -> np.ndarray:
+    """Dense window-start grid (the product of ``per_dim_window_starts``).
+    Returns (N, 3) int32."""
+    per_dim = per_dim_window_starts(image_size, roi, overlap)
     grid = np.stack(
         np.meshgrid(*per_dim, indexing="ij"), axis=-1
     ).reshape(-1, len(per_dim))
@@ -433,11 +438,25 @@ def sliding_window_inference(
         channels, fp32 or bf16.
       n_classes: K.
       spec: grid/blending configuration.
-      out_layout: layout of ``apply_fn``'s logits, "ndhwc" or "ndchw".
+      out_layout: layout of ``apply_fn``'s logits — one of
+        "ndhwc" (B, rd, rh, rw, K), "ndchw" (B, rd, K, rh, rw),
+        "flatk" (NDHWC with K or K16 channels into the tile-aligned flat
+        (D, H, W*K16) accumulator), or "ppk" (parity-plane windows
+        (B, rd, 4, rh/2, (rw/2)*K16) into the plane-ordered accumulator;
+        requires ``ppk_supported``).
+      apply_takes_weight: with "flatk"/"ppk", ``apply_fn(params, windows,
+        wgt)`` receives the per-voxel blend weight (importance * 1/count *
+        validity, shape (B, rd, rh, rw, 1)) and must fold it into its
+        logits (the Pallas out-head multiplies it in its epilogue).
+      acc_dtype: "fp32" (default, MONAI-parity accumulation) or "bf16"
+        (serving opt-in; halves scatter RMW traffic at ~0.4% relative
+        blend error — flatk/ppk only).
 
     Returns:
       (D, H, W, K) float32 blended logits at the ORIGINAL (unpadded) size.
     """
+    if out_layout not in ("ndhwc", "ndchw", "flatk", "ppk"):
+        raise ValueError(f"unknown out_layout: {out_layout!r}")
     squeeze = False
     if volume.ndim == 5:
         if volume.shape[0] != 1:

@@ -1,0 +1,262 @@
+"""Sliding-window inference, z-row walk + deferred overlap-add (round 3).
+
+Same MONAI 0.6 ``sliding_window_inference`` contract as
+``medseg.ops.sliding_window`` (`/root/reference/unetr_segmentation_3d.py:109,
+143,694-695`), rebuilt around the round-2 finding that the per-window
+slice+``dynamic_update_slice`` scatter was 55% of the serving budget
+(docs/PERF_NOTES.md: 16.4 of 29.7 ms/batch, bound by DMA run count — window
+rows are ~1.5KB runs inside the big accumulator).
+
+Design: never scatter a window into the volume accumulator at all.
+
+1. **Structured walk** — instead of a flat window list, iterate the grid as
+   ``scan(d_starts) x scan(h_starts) x static w_starts``. Per (d0, h0) the
+   gather is ONE ``dynamic_slice`` rowblock ``(rd, rh, W_full, C)`` whose
+   offsets are major-dim only (contiguous ~rh*W*4-byte runs instead of
+   per-window ~384-byte runs), and the ``n_w`` windows of the rowblock are
+   STATIC lane slices (w starts are trace-time constants).
+2. **Deferred overlap-add ("fold")** — the model emits parity-plane windows
+   ``(n_w, rd, 4, rh/2, (rw/2)*K16)`` (``fast_apply_v3(pp=True)`` form, blend
+   weight folded into the out-head epilogue). Overlapping windows are then
+   combined axis-by-axis with static **interval-decomposition folds**: between
+   two consecutive breakpoints of the start/end set, the covering window set
+   is constant, so each output segment is a plain sum of static slices and the
+   axis result is one concat. W folds per (d0, h0) row, H folds per z-row,
+   D folds once per volume over the scan-stacked slabs. Every op is a static
+   slice / add / concat — zero read-modify-write scatter, zero DUS.
+
+Traffic: windows are written once by the model (contiguous scan ``ys``), each
+fold level reads its input once and writes once (~2.5x volume bytes total),
+vs the scatter's per-window RMW of the full accumulator region. No grid
+padding windows exist (the walk is exact), so no validity mask either.
+
+Geometry requirements (checked by ``zrow_supported``): even roi/pads/starts in
+H and W (the parity-plane form), i.e. the same predicate as ``ppk_supported``.
+Fallback for other grids: the ppk/flatk scatter paths in
+``medseg.ops.sliding_window``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medseg.ops.sliding_window import (
+    SlidingWindowSpec,
+    _count_map_cached,
+    _flatk_pad,
+    _pad_amounts,
+    constant_importance,
+    gaussian_importance,
+    per_dim_window_starts,
+    ppk_supported,
+)
+
+# zrow consumes the same parity-plane window form as the ppk scatter, so the
+# geometry predicate is identical.
+zrow_supported = ppk_supported
+
+
+def _fold_plan(
+    offsets: Sequence[int], width: int, total: int
+) -> tuple[tuple[int, int, tuple[tuple[int, int], ...]], ...]:
+    """Interval decomposition of an overlap-add.
+
+    Windows of ``width`` sit at ``offsets`` (sorted, covering [0, total)).
+    Returns segments ``(start, length, ((win_idx, local_off), ...))`` such
+    that output[start:start+length] = sum over covering windows of
+    window[win_idx][local_off:local_off+length].
+    """
+    offs = list(offsets)
+    bps = sorted({0, total} | set(offs) | {o + width for o in offs})
+    bps = [b for b in bps if 0 <= b <= total]
+    segs = []
+    for a, b in zip(bps[:-1], bps[1:]):
+        cover = tuple(
+            (j, a - o) for j, o in enumerate(offs) if o <= a and b <= o + width
+        )
+        assert cover, f"window grid leaves [{a}, {b}) uncovered"
+        segs.append((a, b - a, cover))
+    return tuple(segs)
+
+
+def _fold(stacked: jax.Array, segs, axis: int) -> jax.Array:
+    """Apply a ``_fold_plan`` along ``axis`` of ``stacked`` (window-stacked on
+    axis 0; ``axis`` counts dims of one window). All slices static."""
+    parts = []
+    for _, length, cover in segs:
+        term = None
+        for j, off in cover:
+            piece = jax.lax.slice_in_dim(stacked[j], off, off + length, axis=axis)
+            term = piece if term is None else term + piece
+        parts.append(term)
+    return jnp.concatenate(parts, axis=axis)
+
+
+@lru_cache(maxsize=32)
+def _device_constants_cached(padded, roi, overlap, mode, sigma_scale):
+    """Device-resident grid constants, uploaded ONCE per (shape, spec) —
+    re-uploading the ~volume-sized reciprocal count map per call through the
+    host relay dominated everything in round 1 (docs/PERF_NOTES.md)."""
+    d_starts, h_starts, _ = per_dim_window_starts(padded, roi, overlap)
+    imp_np = (
+        constant_importance(roi)
+        if mode == "constant"
+        else gaussian_importance(roi, sigma_scale)
+    )
+    inv_count = 1.0 / _count_map_cached(padded, roi, overlap, mode, sigma_scale)
+    return (
+        jnp.asarray(np.asarray(d_starts, np.int32)),
+        jnp.asarray(np.asarray(h_starts, np.int32)),
+        jnp.asarray(imp_np),
+        jnp.asarray(inv_count),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn", "roi", "n_classes", "pads", "out_shape",
+        "w_starts", "h_segs", "w_segs", "d_segs", "acc_dtype",
+    ),
+)
+def _zrow_device(
+    params,
+    volume: jax.Array,  # (D, H, W, C) unpadded
+    d_starts: jax.Array,  # (nd,) int32
+    h_starts: jax.Array,  # (nh,) int32
+    importance: jax.Array,  # (rd, rh, rw) fp32
+    inv_count: jax.Array,  # (Dp, Hp, Wp) fp32 reciprocal count map
+    *,
+    apply_fn: Callable,
+    roi: tuple[int, int, int],
+    n_classes: int,
+    pads: tuple[tuple[int, int], ...],
+    out_shape: tuple[int, int, int],
+    w_starts: tuple[int, ...],
+    h_segs,  # fold plans (static)
+    w_segs,
+    d_segs,
+    acc_dtype: str = "bf16",
+) -> jax.Array:
+    rd, rh, rw = roi
+    if any(lo or hi for lo, hi in pads):
+        volume = jnp.pad(volume, list(pads) + [(0, 0)])
+    dp, hp, wp_full, c = volume.shape
+    k16 = _flatk_pad(n_classes)
+    fold_dtype = jnp.bfloat16 if acc_dtype == "bf16" else jnp.float32
+    imp = importance[None, ..., None]  # (1, rd, rh, rw, 1)
+    n_w = len(w_starts)
+
+    def h_body(_, start):
+        d0, h0 = start[0], start[1]
+        rb = jax.lax.dynamic_slice(volume, (d0, h0, 0, 0), (rd, rh, wp_full, c))
+        ib = jax.lax.dynamic_slice(inv_count, (d0, h0, 0), (rd, rh, wp_full))
+        wins = jnp.stack(
+            [jax.lax.slice_in_dim(rb, ws, ws + rw, axis=2) for ws in w_starts]
+        )  # (n_w, rd, rh, rw, C)
+        wgt = (
+            jnp.stack(
+                [jax.lax.slice_in_dim(ib, ws, ws + rw, axis=2) for ws in w_starts]
+            )[..., None]
+            * imp
+        )  # (n_w, rd, rh, rw, 1)
+        ppw = apply_fn(params, wins, wgt)  # (n_w, rd, 4, rh/2, (rw/2)*K16)
+        row = _fold(ppw.astype(fold_dtype), w_segs, axis=3)
+        return None, row  # (rd, 4, rh/2, (Wp/2)*K16)
+
+    def d_body(_, d0):
+        starts = jnp.stack(
+            [jnp.broadcast_to(d0, h_starts.shape), h_starts], axis=1
+        )
+        _, rows = jax.lax.scan(h_body, None, starts)  # (nh, rd, 4, rh/2, LW)
+        slab = _fold(rows, h_segs, axis=2)  # (rd, 4, Hp/2, LW)
+        return None, slab
+
+    _, slabs = jax.lax.scan(d_body, None, d_starts)  # (nd, rd, 4, Hp/2, LW)
+    acc = _fold(slabs, d_segs, axis=0)  # (Dp, 4, Hp/2, (Wp/2)*K16)
+
+    # parity-plane deinterleave (same as the ppk scatter tail) + crop
+    acc = acc.reshape(dp, 2, 2, hp // 2, wp_full // 2, k16)
+    acc = acc.transpose(0, 3, 1, 4, 2, 5).reshape(dp, hp, wp_full, k16)
+    begin = tuple(lo for lo, _ in pads) + (0,)
+    return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,)).astype(
+        jnp.float32
+    )
+
+
+def sliding_window_inference_zrow(
+    params,
+    volume,
+    apply_fn: Callable,
+    n_classes: int,
+    spec: SlidingWindowSpec,
+    acc_dtype: str = "bf16",
+) -> jax.Array:
+    """Whole-volume inference via the z-row walk (see module docstring).
+
+    ``apply_fn(params, windows, wgt)`` must emit parity-plane windows
+    ``(B, rd, 4, rh/2, (rw/2)*K16)`` with the blend weight folded in — the
+    same contract as the ppk scatter (``fast_apply_v3(pp=True,
+    flat_k16=True, out_scale=wgt)``). The model batch is the number of
+    w-axis windows per rowblock (``spec.sw_batch`` is not used).
+
+    Returns (D, H, W, K) fp32 blended logits at the original size (or
+    (1, ...) for a 5-D input), identical semantics to
+    ``sliding_window_inference``.
+    """
+    squeeze = False
+    if volume.ndim == 5:
+        if volume.shape[0] != 1:
+            raise ValueError("sliding_window_inference expects a single volume")
+        volume = volume[0]
+        squeeze = True
+    spatial = tuple(int(s) for s in volume.shape[:3])
+    roi = tuple(spec.roi)
+    if not zrow_supported(spatial, spec):
+        raise ValueError(
+            "zrow walk requires even roi/pads and even window starts; "
+            "use out_layout='flatk' for this grid"
+        )
+    rd, rh, rw = roi
+    k16 = _flatk_pad(n_classes)
+    pads = tuple(_pad_amounts(spatial, roi, spec.bucket_multiple))
+    padded = tuple(s + lo + hi for s, (lo, hi) in zip(spatial, pads))
+    dp, hp, wp_full = padded
+
+    d_starts, h_starts, w_starts = per_dim_window_starts(padded, roi, spec.overlap)
+    h_segs = _fold_plan([int(s) // 2 for s in h_starts], rh // 2, hp // 2)
+    w_segs = _fold_plan(
+        [(int(s) // 2) * k16 for s in w_starts], (rw // 2) * k16, (wp_full // 2) * k16
+    )
+    d_segs = _fold_plan([int(s) for s in d_starts], rd, dp)
+
+    d_starts_dev, h_starts_dev, imp_dev, inv_count_dev = _device_constants_cached(
+        padded, roi, spec.overlap, spec.mode, spec.sigma_scale
+    )
+
+    out = _zrow_device(
+        params,
+        jnp.asarray(volume),
+        d_starts_dev,
+        h_starts_dev,
+        imp_dev,
+        inv_count_dev,
+        apply_fn=apply_fn,
+        roi=roi,
+        n_classes=n_classes,
+        pads=pads,
+        out_shape=spatial,
+        w_starts=tuple(int(s) for s in w_starts),
+        h_segs=h_segs,
+        w_segs=w_segs,
+        d_segs=d_segs,
+        acc_dtype=acc_dtype,
+    )
+    if squeeze:
+        out = out[None]
+    return out

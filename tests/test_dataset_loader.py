@@ -198,3 +198,39 @@ def test_end_to_end_spleen_style_pipeline(tmp_path):
         assert b["image"].shape == (4, 8, 8, 8, 1)
         assert b["label"].shape == (4, 8, 8, 8, 1)
         assert b["image"].dtype == np.float32
+
+
+def test_msd_layout_validator(tmp_path):
+    """Partial MSD tasks produce the documented error surface (the offline
+    stand-in for DecathlonDataset(download=True)'s verify step)."""
+    import json
+
+    from medseg.data.dataset import DecathlonDataset, validate_msd_layout
+
+    task = tmp_path / "Task09_Spleen"
+    (task / "imagesTr").mkdir(parents=True)
+    (task / "labelsTr").mkdir()
+    items = []
+    for i in range(3):
+        img = task / "imagesTr" / f"spleen_{i}.nii.gz"
+        lab = task / "labelsTr" / f"spleen_{i}.nii.gz"
+        img.write_bytes(b"x")
+        lab.write_bytes(b"x")
+        items.append(
+            {"image": f"./imagesTr/spleen_{i}.nii.gz", "label": f"./labelsTr/spleen_{i}.nii.gz"}
+        )
+    meta = {"name": "Spleen", "numTraining": 3, "training": items, "test": []}
+    (task / "dataset.json").write_text(json.dumps(meta))
+
+    ds = DecathlonDataset(str(tmp_path), "Task09_Spleen", section="training")
+    assert len(ds) > 0  # complete layout validates
+
+    (task / "labelsTr" / "spleen_1.nii.gz").unlink()
+    with pytest.raises(RuntimeError, match="spleen_1.nii.gz"):
+        DecathlonDataset(str(tmp_path), "Task09_Spleen", section="training")
+
+    meta_bad = dict(meta, numTraining=5)
+    (task / "labelsTr" / "spleen_1.nii.gz").write_bytes(b"x")
+    (task / "dataset.json").write_text(json.dumps(meta_bad))
+    with pytest.raises(RuntimeError, match="numTraining=5"):
+        DecathlonDataset(str(tmp_path), "Task09_Spleen", section="training")

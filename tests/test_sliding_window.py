@@ -250,3 +250,56 @@ def test_ppk_layout_matches_ndhwc(rng):
         out_layout="ppk", apply_takes_weight=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_ppk_with_v3_fallback_model(rng):
+    """Round-2 advisor regression: when fast_apply_v3 cannot engage its
+    kernels (CPU / unsupported shape) its flax fallback must still emit the
+    REQUESTED ppk window form so the ppk scatter consumes it."""
+    from medseg.kernels.unetr_of import fast_apply_v3
+    from medseg.models.unetr import UNETR
+    from medseg.ops.sliding_window import ppk_supported
+
+    model = UNETR(
+        in_channels=1, out_channels=3, img_size=(32, 32, 32), feature_size=4,
+        hidden_size=24, mlp_dim=48, num_heads=4, num_layers=4, patch_size=16,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 32, 1)))
+    vol = rng.normal(size=(40, 36, 32, 1)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(32, 32, 32), overlap=0.25, sw_batch=2)
+    assert ppk_supported(vol.shape[:3], spec)
+
+    def apply_plain(p, windows):
+        return model.apply(p, windows, return_encoder_features=False)
+
+    def apply_pp(p, windows, wgt):
+        return fast_apply_v3(model, p, windows, flat_k16=True, out_scale=wgt, pp=True)
+
+    ref = sliding_window_inference(params, jnp.asarray(vol), apply_plain, 3, spec)
+    got = sliding_window_inference(
+        params, jnp.asarray(vol), apply_pp, 3, spec,
+        out_layout="ppk", apply_takes_weight=True,
+    )
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    # fallback casts logits to bf16 (the flat_k16 contract) -> bf16 tolerance
+    assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.02 * scale
+
+
+def test_validator_gates_fast_path_on_unsupported_shapes(rng):
+    """Validator(use_fast_path=True) with a window shape the v3 kernels do
+    not support must route to the plain NDHWC path and still validate."""
+    from medseg.engine.evaluate import Validator
+    from medseg.models.unetr import UNETR
+
+    model = UNETR(
+        in_channels=1, out_channels=2, img_size=(32, 32, 32), feature_size=4,
+        hidden_size=24, mlp_dim=48, num_heads=4, num_layers=4, patch_size=16,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 32, 1)))
+    spec = SlidingWindowSpec(roi=(32, 32, 32), overlap=0.25, sw_batch=2)
+    v = Validator(model, 2, "ct", spec, use_fast_path=True)
+    assert v._out_layout == "ndhwc"  # gated: feature_size 4 unsupported
+    image = rng.normal(size=(1, 40, 36, 32, 1)).astype(np.float32)
+    label = (image[0, ..., 0] > 0).astype(np.int32)
+    res = v(params, [{"image": jnp.asarray(image), "label": jnp.asarray(label)}])
+    assert np.isfinite(res.mean_dice)

@@ -1,0 +1,132 @@
+"""z-row deferred-overlap-add sliding-window engine parity tests.
+
+The zrow walk (medseg/ops/swi_zrow.py) must blend identically to the
+reference NDHWC scan-SWI engine for any supported grid — same MONAI 0.6
+contract (`/root/reference/unetr_segmentation_3d.py:109,143,694-695`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medseg.ops.sliding_window import SlidingWindowSpec, sliding_window_inference
+from medseg.ops.swi_zrow import (
+    _fold_plan,
+    sliding_window_inference_zrow,
+    zrow_supported,
+)
+
+
+def voxelwise_apply(params, windows):
+    return jnp.einsum("bdhwc,ck->bdhwk", windows, params)
+
+
+def make_apply_pp(params_unused, k: int, k16: int):
+    """Wrap the voxelwise predictor into the ppk window contract:
+    (B, rd, 4, rh/2, (rw/2)*K16) pre-weighted windows."""
+
+    def apply_pp(params, windows, wgt):
+        lg = jnp.einsum("bdhwc,ck->bdhwk", windows, params) * wgt
+        lg = jnp.pad(lg, [(0, 0)] * 4 + [(0, k16 - k)])
+        b, rd, rh, rw, _ = lg.shape
+        g = lg.reshape(b, rd, rh // 2, 2, rw // 2, 2, k16)
+        return g.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            b, rd, 4, rh // 2, (rw // 2) * k16
+        )
+
+    return apply_pp
+
+
+def test_fold_plan_regular_and_clipped():
+    # regular 50%-overlap grid: starts 0, 4, 8 width 8 over [0, 16)
+    segs = _fold_plan([0, 4, 8], 8, 16)
+    cover = {(s, s + ln): tuple(j for j, _ in cv) for s, ln, cv in segs}
+    assert cover == {
+        (0, 4): (0,), (4, 8): (0, 1), (8, 12): (1, 2), (12, 16): (2,),
+    }
+    # clipped final start (MONAI clips k*interval to dim-roi): 0, 4, 6
+    segs = _fold_plan([0, 4, 6], 8, 14)
+    total = sum(ln for _, ln, _ in segs)
+    assert total == 14
+    # every local offset in range
+    for s, ln, cv in segs:
+        for j, off in cv:
+            assert 0 <= off and off + ln <= 8
+
+
+@pytest.mark.parametrize(
+    "shape,overlap,mode",
+    [
+        ((20, 18, 14, 3), 0.5, "gaussian"),
+        ((20, 18, 14, 3), 0.25, "constant"),
+        ((40, 36, 32, 1), 0.5, "gaussian"),  # includes exact-fit W dim
+        ((8, 8, 8, 2), 0.25, "constant"),  # single window
+    ],
+)
+def test_zrow_matches_ndhwc(rng, shape, overlap, mode):
+    vol = rng.normal(size=shape).astype(np.float32)
+    k = 5
+    k16 = 8
+    w = rng.normal(size=(shape[-1], k)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=overlap, mode=mode)
+    assert zrow_supported(shape[:3], spec)
+    ref = sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, k, spec)
+    got = sliding_window_inference_zrow(
+        jnp.asarray(w), jnp.asarray(vol), make_apply_pp(w, k, k16), k, spec,
+        acc_dtype="fp32",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_zrow_bf16_close(rng):
+    vol = rng.normal(size=(20, 18, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, mode="gaussian")
+    ref = sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec)
+    got = sliding_window_inference_zrow(
+        jnp.asarray(w), jnp.asarray(vol), make_apply_pp(w, 5, 8), 5, spec,
+        acc_dtype="bf16",
+    )
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.03 * scale
+
+
+def test_zrow_headline_grid_structure():
+    """The BASELINE config-4 grid (512x512x160, 96^3, 0.5) is zrow-supported
+    and decomposes into the expected 10x10x3 structured walk."""
+    from medseg.ops.sliding_window import per_dim_window_starts
+
+    spec = SlidingWindowSpec(roi=(96, 96, 96), overlap=0.5, mode="gaussian")
+    assert zrow_supported((512, 512, 160), spec)
+    d, h, w = per_dim_window_starts((512, 512, 160), (96, 96, 96), 0.5)
+    assert len(d) == 10 and len(h) == 10 and len(w) == 3
+    assert list(w) == [0, 48, 64]
+
+
+def test_zrow_with_v3_fallback_model(rng):
+    """End-to-end with a real (tiny) UNETR through fast_apply_v3's ppk window
+    form — the zrow engine consumes exactly the serving apply contract."""
+    from medseg.kernels.unetr_of import fast_apply_v3
+    from medseg.models.unetr import UNETR
+
+    model = UNETR(
+        in_channels=1, out_channels=3, img_size=(32, 32, 32), feature_size=4,
+        hidden_size=24, mlp_dim=48, num_heads=4, num_layers=4, patch_size=16,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 32, 1)))
+    vol = rng.normal(size=(40, 36, 32, 1)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(32, 32, 32), overlap=0.25)
+
+    def apply_plain(p, windows):
+        return model.apply(p, windows, return_encoder_features=False)
+
+    def apply_pp(p, windows, wgt):
+        return fast_apply_v3(model, p, windows, flat_k16=True, out_scale=wgt, pp=True)
+
+    ref = sliding_window_inference(params, jnp.asarray(vol), apply_plain, 3, spec)
+    got = sliding_window_inference_zrow(
+        params, jnp.asarray(vol), apply_pp, 3, spec, acc_dtype="fp32"
+    )
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.02 * scale
