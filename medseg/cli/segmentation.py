@@ -92,15 +92,30 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
+    from medseg.parallel.runtime import process_info, shard_datalist
+
+    rank, world = process_info()
     out_dir = make_output_dir(args.root_dir, args.pretrained, args.dataset_name, fold_idx)
-    logger = RunLogger(out_dir, f"lr_{args.learning_rate}_train_size_{int(args.train_size)}")
+    log_name = f"lr_{args.learning_rate}_train_size_{int(args.train_size)}"
+    if world > 1:
+        log_name += f"_host{rank}"  # per-host log files on a shared FS
+    logger = RunLogger(out_dir, log_name)
     logger.write(f"fold {fold_idx}: {len(train_list)} train / {len(val_list)} val volumes")
 
     model = build_model(args, cfg)
 
-    rng_np = np.random.default_rng(args.seed + fold_idx)
+    # multi-host input sharding: each host loads only its slice of the
+    # training datalist (SURVEY.md §5.8 "per-host data sharding"); the val
+    # list stays global — eval is one SPMD program every process must run
+    train_list_local = shard_datalist(train_list)
+    if world > 1:
+        logger.write(
+            f"host {rank}/{world}: {len(train_list_local)} local train volumes"
+        )
+
+    rng_np = np.random.default_rng(args.seed + fold_idx + 1009 * rank)
     train_ds = CacheDataset(
-        train_list,
+        train_list_local,
         transform=train_transforms(cfg.data, rng_np, augment=not args.device_augment),
     )
     val_ds = CacheDataset(val_list, transform=val_transforms(cfg.data))
@@ -108,14 +123,16 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
     mesh = None
     put = device_put_batch
     if args.data_parallel and jax.device_count() > 1:
-        from medseg.parallel.mesh import make_mesh, shard_batch
+        from medseg.parallel.mesh import make_mesh
+        from medseg.parallel.runtime import shard_batch_multihost
 
+        # local crops per step; the global batch is world x this
         crops_per_step = args.batch_size * cfg.data.num_crop_samples
-        if crops_per_step % jax.device_count() == 0:
+        if crops_per_step % len(jax.local_devices()) == 0:
             mesh = make_mesh()
             logger.write(
-                f"data-parallel over {jax.device_count()} devices "
-                f"({crops_per_step} crops/step)"
+                f"data-parallel over {jax.device_count()} devices / {world} hosts "
+                f"({crops_per_step} local crops/step)"
             )
 
             def put(batch):
@@ -123,11 +140,12 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
                     k: v for k, v in batch.items()
                     if isinstance(v, np.ndarray) and v.dtype != object
                 }
-                return shard_batch(mesh, arrays)
+                return shard_batch_multihost(mesh, arrays)
         else:
             logger.write(
                 f"data-parallel requested but {crops_per_step} crops/step "
-                f"not divisible by {jax.device_count()} devices; running single-device"
+                f"not divisible by {len(jax.local_devices())} local devices; "
+                f"running single-device"
             )
 
     train_loader = DataLoader(
@@ -152,11 +170,11 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
         weight_decay=1e-5,
     )
     if mesh is not None:
-        from medseg.parallel.mesh import replicate
+        from medseg.parallel.runtime import replicate_multihost
 
         state = state.replace(
-            params=replicate(mesh, state.params),
-            opt_state=replicate(mesh, state.opt_state),
+            params=replicate_multihost(mesh, state.params),
+            opt_state=replicate_multihost(mesh, state.opt_state),
         )
     if args.pretrained and os.path.exists(args.pretrained):
         logger.write(f"loading pretrained weights: {args.pretrained}")
@@ -181,6 +199,8 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
                 yield {"image": batch["image"][0], "label": batch["label"][0]}
         return volume_iter
 
+    # checkpoint I/O from host 0 only (params are replicated, so host 0's
+    # copy is the global state; every host restores the same files)
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
     if ckpt.exists():
         logger.write("resuming from existing best checkpoint")
@@ -188,6 +208,8 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
 
     if args.mode == "train":
         progress = None
+        if rank != 0:
+            args.no_progress = True
         if not args.no_progress:
             from tqdm import tqdm
 
@@ -209,7 +231,7 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
             validator=lambda s: validator(
                 s.params, validate_volumes(val_loader)()
             ).mean_dice,
-            checkpointer=ckpt,
+            checkpointer=ckpt if rank == 0 else None,
             log_fn=lambda msg: (print(msg), logger.write(msg)),
             sync_every=args.sync_every,
             progress=progress,
@@ -222,17 +244,18 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
         state = loop.run(state, batches())
         if progress is not None:
             bar.close()
-        save_metric_series(
-            out_dir,
-            f"lr_{args.learning_rate}",
-            {"loss": loop.loss_history, "dice": loop.metric_history},
-        )
-        plot_training_curves(
-            os.path.join(out_dir, "curves.png"),
-            loop.loss_history,
-            loop.metric_history,
-            args.eval_num,
-        )
+        if rank == 0:  # curves/series are host-0 artifacts
+            save_metric_series(
+                out_dir,
+                f"lr_{args.learning_rate}",
+                {"loss": loop.loss_history, "dice": loop.metric_history},
+            )
+            plot_training_curves(
+                os.path.join(out_dir, "curves.png"),
+                loop.loss_history,
+                loop.metric_history,
+                args.eval_num,
+            )
 
     # final evaluation with all metrics (seg :623-648)
     if ckpt.exists():
@@ -247,19 +270,22 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
     }
     logger.write(f"fold {fold_idx} final: {summary}")
     logger.event("final_metrics", fold=fold_idx, **{k: v for k, v in summary.items()})
-    save_metric_series(
-        out_dir,
-        "final",
-        {
-            "dice_per_class": result.per_class_dice,
-            "precision_per_class": result.per_class_precision,
-            "recall_per_class": result.per_class_recall,
-            "hausdorff_per_class": result.per_class_hausdorff,
-        },
-    )
+    if rank == 0:
+        save_metric_series(
+            out_dir,
+            "final",
+            {
+                "dice_per_class": result.per_class_dice,
+                "precision_per_class": result.per_class_precision,
+                "recall_per_class": result.per_class_recall,
+                "hausdorff_per_class": result.per_class_hausdorff,
+            },
+        )
 
     # slice-overlay PDFs for fold 0 (seg :666-723); the reference renders
-    # overlays from SWI at overlap=0.8 (seg :694-695), not the eval overlap
+    # overlays from SWI at overlap=0.8 (seg :694-695), not the eval overlap.
+    # The mask computation is SPMD (all hosts run it when a mesh is present);
+    # only host 0 renders the PDF.
     if fold_idx == 0 and len(val_ds) > 0:
         sample0 = val_ds[0]
         image = jnp.asarray(sample0["image"])
@@ -276,17 +302,24 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
             label_map = np.asarray(
                 multichannel_to_label_map(jnp.asarray(sample0["label"]))
             )
-        save_slice_overlays(
-            os.path.join(out_dir, "overlays.pdf"),
-            np.asarray(sample0["image"][..., 0]),
-            label_map,
-            pred_map,
-            args.n_classes,
-        )
+        if rank == 0:
+            save_slice_overlays(
+                os.path.join(out_dir, "overlays.pdf"),
+                np.asarray(sample0["image"][..., 0]),
+                label_map,
+                pred_map,
+                args.n_classes,
+            )
     return summary
 
 
 def main(argv=None) -> list[dict]:
+    # must precede the first backend touch; no-op unless a multi-process
+    # config is present (MEDSEG_DISTRIBUTED=1 on pod slices, or explicit
+    # MEDSEG_COORDINATOR/NUM_PROCESSES/PROCESS_ID for manual bring-up)
+    from medseg.parallel.runtime import initialize_distributed
+
+    initialize_distributed()
     args = build_parser().parse_args(argv)
     cfg = apply_overrides(preset(args.dataset_name, args.n_classes), args)
     datalist = resolve_datalist(args.data_dir, args.dataset_name)
