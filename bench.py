@@ -180,7 +180,33 @@ def main() -> None:
         f"achieved = {mfu * 100:.1f}% MFU (v5e bf16 peak {V5E_PEAK_BF16_TFLOPS} TF/s)",
         file=sys.stderr,
     )
-    _train_throughput_info(model.__class__)
+
+    # secondary configs (BASELINE.json 1/2/3/5), each failure-isolated so the
+    # headline metric always emits; skip with BENCH_ONLY=4
+    configs: dict = {
+        "4_full_res_swi": {
+            "volumes_per_sec": round(vols_per_sec, 4),
+            "windows_per_sec": round(windows_per_sec, 1),
+            "pipeline": f"BENCH_FAST={fast}",
+        }
+    }
+    if os.environ.get("BENCH_ONLY", "") != "4":
+        for key, fn in (
+            ("1_fwd_dice_96", _config1_forward_dice),
+            ("2_spleen_finetune_step", lambda: _train_step_throughput(2, 2)),
+            ("3_ranking_pretrain_step", _config3_pretrain),
+            ("5_dp_virtual_mesh", _config5_dp_virtual),
+            ("train_btcv_step", lambda: _train_step_throughput(N_CLASSES, 4)),
+        ):
+            t0 = time.perf_counter()
+            try:
+                configs[key] = fn()
+            except Exception as e:  # keep the primary metric robust
+                configs[key] = {"error": str(e)[:200]}
+            print(
+                f"config {key}: {configs[key]} ({time.perf_counter()-t0:.0f}s)",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {
@@ -191,43 +217,117 @@ def main() -> None:
                 "flops_per_window_gf": round(FLOPS_PER_WINDOW / 1e9, 1),
                 "tflops": round(tflops, 2),
                 "mfu": round(mfu, 4),
+                "configs": configs,
             }
         )
     )
 
 
-def _train_throughput_info(_unused) -> None:
-    """Secondary metric (stderr): training patches/sec, fwd+bwd+AdamW."""
-    try:
-        from medseg.engine.state import create_train_state
-        from medseg.engine.train import make_train_step
-        from medseg.models.unetr import unetr_b16
+def _train_step_throughput(n_classes: int, batch: int) -> dict:
+    """Train-step timing (fwd+bwd+AdamW, bf16+remat) at 96^3 crops."""
+    from medseg.engine.state import create_train_state
+    from medseg.engine.train import make_train_step
+    from medseg.models.unetr import unetr_b16
 
-        model = unetr_b16(1, N_CLASSES, ROI, dtype=jnp.bfloat16, remat=True)
-        batch = 4
-        img = jax.random.normal(jax.random.key(2), (batch, ROI, ROI, ROI, 1), jnp.float32)
-        lab = jax.random.randint(jax.random.key(3), (batch, ROI, ROI, ROI), 0, N_CLASSES)
-        state = create_train_state(
-            model, rng=jax.random.key(0), sample_input=img[:1],
-            learning_rate=1e-4, weight_decay=1e-5,
-        )
-        step = make_train_step(model, task="ct", donate=True)
-        b = {"image": img, "label": lab}
+    model = unetr_b16(1, n_classes, ROI, dtype=jnp.bfloat16, remat=True)
+    img = jax.random.normal(jax.random.key(2), (batch, ROI, ROI, ROI, 1), jnp.float32)
+    lab = jax.random.randint(jax.random.key(3), (batch, ROI, ROI, ROI), 0, n_classes)
+    state = create_train_state(
+        model, rng=jax.random.key(0), sample_input=img[:1],
+        learning_rate=1e-4, weight_decay=1e-5,
+    )
+    step = make_train_step(model, task="ct", donate=True)
+    b = {"image": img, "label": lab}
+    state, loss = step(state, b)
+    float(loss)
+    n = 6
+    t0 = time.perf_counter()
+    for _ in range(n):
         state, loss = step(state, b)
-        float(loss)
-        n = 6
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, loss = step(state, b)
-        float(loss)
-        dt = (time.perf_counter() - t0) / n
-        print(
-            f"train: {dt*1000:.0f} ms/step, {batch/dt:.2f} patches/sec "
-            f"(bf16+remat, batch {batch}, {ROI}^3, {N_CLASSES} classes)",
-            file=sys.stderr,
-        )
-    except Exception as e:  # keep the primary metric robust
-        print(f"train throughput info failed: {e}", file=sys.stderr)
+    float(loss)
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "patches_per_sec": round(batch / dt, 2),
+        "batch": batch,
+        "n_classes": n_classes,
+    }
+
+
+def _config1_forward_dice() -> dict:
+    """Config 1: UNETR-base forward + Dice loss, one 96^3 volume, batch 1."""
+    from medseg.models.unetr import unetr_b16
+    from medseg.ops.losses import dice_ce_loss
+
+    model = unetr_b16(1, N_CLASSES, ROI, dtype=jnp.bfloat16)
+    img = jax.random.normal(jax.random.key(4), (1, ROI, ROI, ROI, 1), jnp.float32)
+    lab = jax.random.randint(jax.random.key(5), (1, ROI, ROI, ROI), 0, N_CLASSES)
+    params = jax.jit(model.init)(jax.random.key(0), img)
+
+    @jax.jit
+    def fwd(p, x, y):
+        logits = model.apply(p, x, return_encoder_features=False)
+        return dice_ce_loss(logits, y, softmax=True, to_onehot_y=True)
+
+    float(fwd(params, img, lab))
+    n = 8
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fwd(params, img, lab)
+    float(out)
+    dt = (time.perf_counter() - t0) / n
+    return {"ms_per_fwd_dice": round(dt * 1e3, 1), "patches_per_sec": round(1 / dt, 2)}
+
+
+def _config3_pretrain() -> dict:
+    """Config 3: ranking pretraining step (feat stage), batch 4 @96^3."""
+    from medseg.engine.pretrain import make_pretrain_step
+    from medseg.engine.state import create_train_state
+    from medseg.models.unetr import unetr_b16
+
+    model = unetr_b16(1, 2, ROI, dtype=jnp.bfloat16, remat=True)
+    img = jax.random.normal(jax.random.key(6), (4, ROI, ROI, ROI, 1), jnp.float32)
+    state = create_train_state(
+        model, rng=jax.random.key(0), sample_input=img[:1],
+        learning_rate=1e-4, weight_decay=1e-5,
+    )
+    step = make_pretrain_step(
+        model, update_arc="feat", loss_type="ranking",
+        num_partitions=4, temperature=0.1, donate=True,
+    )
+    idx = jnp.asarray([0, 1, 2, 3]) * (ROI // 8 // 4)
+    state, loss = step(state, img, idx, axis=0)
+    float(loss)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, loss = step(state, img, idx, axis=0)
+    float(loss)
+    dt = (time.perf_counter() - t0) / n
+    return {"ms_per_step_feat": round(dt * 1e3, 1), "steps_per_sec": round(1 / dt, 2)}
+
+
+def _config5_dp_virtual() -> dict:
+    """Config 5: data-parallel step scaling, SIMULATED on a virtual 8-device
+    CPU mesh (no multi-chip hardware in this environment — labeled as such;
+    the real-slice path is the same code via medseg/parallel/runtime.py)."""
+    import subprocess
+
+    code = (
+        "import __graft_entry__ as g, time, json;"
+        "t0=time.time(); g.dryrun_multichip(8);"
+        "print(json.dumps({'dryrun_8dev_seconds': round(time.time()-t0, 1)}))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-300:])
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    data["note"] = "virtual 8-device CPU mesh (no multi-chip hardware here)"
+    return data
 
 
 def _count_windows() -> int:

@@ -45,23 +45,25 @@ def main():
     spec = SlidingWindowSpec(roi=(ROI,) * 3, overlap=0.5, sw_batch=4, mode="gaussian")
     volume = 0.3 + 0.2 * jax.random.normal(jax.random.key(1), VOL + (1,), jnp.float32)
 
-    # ---- 1. model-only feedback chains ----
+    # ---- 1. model-only chains (python-loop device chaining: the relay's
+    # remote-compile endpoint 413s on a scan-wrapped model graph) ----
+    @jax.jit
+    def chained_call(x, wgt):
+        out = fast_apply_v3(model, params, x, flat_k16=True, out_scale=wgt, pp=True)
+        probe = out[0, 0, 0, 0, 0].astype(jnp.float32)  # real dependency
+        return x + 1e-20 * probe, out
+
     for b in (3, 4, 6, 8):
         x0 = 0.3 + 0.2 * jax.random.normal(jax.random.key(2), (b, ROI, ROI, ROI, 1), jnp.float32)
         wgt = jnp.ones((b, ROI, ROI, ROI, 1), jnp.float32)
         reps = 20
-
-        def loop(x, wgt):
-            def body(c, _):
-                out = fast_apply_v3(model, params, c, flat_k16=True, out_scale=wgt, pp=True)
-                probe = out[0, 0, 0, 0, 0].astype(jnp.float32)  # real dependency
-                return c + 1e-20 * probe, ()
-            fin, _ = jax.lax.scan(body, x, None, length=reps)
-            return fin
-
-        fn = jax.jit(loop)
-        sync1(fn(x0, wgt))
-        t0 = time.perf_counter(); sync1(fn(x0, wgt)); dt = (time.perf_counter() - t0) / reps
+        x, out = chained_call(x0, wgt)
+        sync1(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x, out = chained_call(x, wgt)
+        sync1(out)
+        dt = (time.perf_counter() - t0) / reps
         per_w = dt / b * 1e3
         tf = b * FLOPS_W / dt / 1e12
         print(f"model pp batch {b}: {dt*1e3:7.2f} ms/call  {per_w:6.2f} ms/window  {tf:6.1f} TF/s", flush=True)

@@ -159,3 +159,57 @@ def train_transforms(
 
 def val_transforms(cfg: DataConfig) -> T.Compose:
     return ct_val_transforms(cfg) if cfg.task == "ct" else mri_val_transforms(cfg)
+
+
+def ct_val_transforms_device(cfg: DataConfig) -> T.Compose:
+    """CT validation preprocessing with the hot stages ON DEVICE (the
+    north-star device-side preprocessing path): host NIfTI decode +
+    channel handling, then device respacing with the intensity window FUSED
+    into the resample epilogue, device RAS orientation, device foreground
+    crop. Intensity windowing commutes with orientation (elementwise), so
+    the result matches the host chain transform-for-transform
+    (tests/test_resample_device.py::test_device_val_pipeline_matches_host).
+    The output ``image`` is a device array ready for sliding-window
+    inference — no host resample, no extra H2D copy.
+    """
+    from medseg.ops import resample as R
+
+    steps = [
+        T.load,
+        T.ensure_channel,
+        partial(
+            R.respace_device,
+            pixdim=cfg.spacing,
+            window=(*cfg.intensity_window, 0.0, 1.0, True),
+        ),
+        R.orient_ras_device,
+    ]
+    if cfg.crop_foreground:
+        steps.append(R.crop_foreground_device)
+    return T.Compose(steps)
+
+
+def mri_val_transforms_device(cfg: DataConfig) -> T.Compose:
+    """MRI/BraTS validation preprocessing on device (z-score normalization
+    runs as jnp on the resampled device tensor)."""
+    from medseg.ops import resample as R
+    from medseg.ops.post import normalize_intensity_device
+
+    return T.Compose(
+        [
+            T.load,
+            T.ensure_channel,
+            T.brats_to_multichannel,
+            partial(R.respace_device, pixdim=cfg.spacing),
+            R.orient_ras_device,
+            normalize_intensity_device,
+        ]
+    )
+
+
+def val_transforms_device(cfg: DataConfig) -> T.Compose:
+    return (
+        ct_val_transforms_device(cfg)
+        if cfg.task == "ct"
+        else mri_val_transforms_device(cfg)
+    )

@@ -62,10 +62,37 @@ def multichannel_to_label_map(mask: jax.Array) -> jax.Array:
     return out
 
 
+@jax.jit
+def _znorm_device(x: jax.Array) -> jax.Array:
+    """z-score over nonzero voxels of one channel (NormalizeIntensityd
+    contract, `unetr_segmentation_3d.py:456`) — device twin of
+    ``transforms._znorm(nonzero=True)``."""
+    mask = x != 0
+    n = jnp.maximum(jnp.sum(mask), 1)
+    mean = jnp.sum(jnp.where(mask, x, 0.0)) / n
+    var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0)) / n
+    std = jnp.sqrt(var)
+    std = jnp.where(std == 0, 1.0, std)
+    y = jnp.where(mask, (x - mean) / std, x)
+    return jnp.where(jnp.any(mask), y, x)
+
+
+def normalize_intensity_device(sample: dict, keys=("image",)) -> dict:
+    """Device NormalizeIntensityd(nonzero=True, channel_wise=True)."""
+    out = dict(sample)
+    for key in keys:
+        img = jnp.asarray(out[key], jnp.float32)
+        out[key] = jnp.stack(
+            [_znorm_device(img[..., c]) for c in range(img.shape[-1])], axis=-1
+        )
+    return out
+
+
 __all__ = [
     "argmax_onehot",
     "to_onehot",
     "sigmoid_threshold",
     "convert_brats_labels_to_multichannel",
     "multichannel_to_label_map",
+    "normalize_intensity_device",
 ]

@@ -157,6 +157,81 @@ def affine_resample_device(
     return out[..., 0] if squeeze else out
 
 
+def orient_ras_device(sample: dict, keys=("image", "label")) -> dict:
+    """Device twin of ``transforms.orient_ras``: the permutation/flip
+    decision comes from the HOST affine (tiny), the array movement runs as
+    ``jnp.flip``/``jnp.transpose`` on device."""
+    from medseg.data.transforms import _io_orientation
+
+    out = dict(sample)
+    for key in keys:
+        if key not in out or f"{key}_affine" not in out:
+            continue
+        data = jnp.asarray(out[key])
+        affine = np.asarray(out[f"{key}_affine"], dtype=np.float64)
+        ornt = _io_orientation(affine)
+        spatial_shape = data.shape[:3]
+        flips = [int(ax) for ax, (_, sign) in enumerate(ornt) if sign < 0]
+        if flips:
+            data = jnp.flip(data, axis=flips)
+        perm = np.argsort(ornt[:, 0])
+        extra = list(range(3, data.ndim))
+        data = jnp.transpose(data, list(perm) + extra)
+        t_flip = np.eye(4)
+        for ax in flips:
+            t_flip[ax, ax] = -1.0
+            t_flip[ax, 3] = spatial_shape[ax] - 1
+        t_perm = np.zeros((4, 4))
+        t_perm[3, 3] = 1.0
+        for new_ax, old_ax in enumerate(perm):
+            t_perm[old_ax, new_ax] = 1.0
+        out[key] = data
+        out[f"{key}_affine"] = affine @ t_flip @ t_perm
+    return out
+
+
+@jax.jit
+def _foreground_bbox_device(src: jax.Array):
+    """Per-axis any-reduction of ``src > 0`` -> 6 scalars (fetched to host
+    for the dynamic-shape crop)."""
+    fg = src > 0
+    if fg.ndim == 4:
+        fg = fg.any(axis=-1)
+    outs = []
+    for ax in range(3):
+        axes = tuple(a for a in range(3) if a != ax)
+        line = fg.any(axis=axes)
+        idx = jnp.arange(line.shape[0])
+        any_fg = line.any()
+        lo = jnp.where(any_fg, jnp.min(jnp.where(line, idx, line.shape[0])), 0)
+        hi = jnp.where(any_fg, jnp.max(jnp.where(line, idx, -1)) + 1, line.shape[0])
+        outs.append((lo, hi))
+    return outs
+
+
+def crop_foreground_device(sample: dict, source_key: str = "image",
+                           keys=("image", "label"), margin: int = 0) -> dict:
+    """Device twin of ``transforms.crop_foreground``: bbox reduced on device
+    (6 scalars fetched), slice applied to the device arrays."""
+    out = dict(sample)
+    src = jnp.asarray(out[source_key])
+    bounds = jax.device_get(_foreground_bbox_device(src))
+    starts = [max(int(lo) - margin, 0) for lo, _ in bounds]
+    stops = [
+        min(int(hi) + margin, s) for (_, hi), s in zip(bounds, src.shape[:3])
+    ]
+    if all(a == 0 for a in starts) and all(
+        b == s for b, s in zip(stops, src.shape[:3])
+    ):
+        return out
+    sl = tuple(slice(a, b) for a, b in zip(starts, stops))
+    for key in keys:
+        if key in out:
+            out[key] = jnp.asarray(out[key])[sl]
+    out["foreground_start"] = np.asarray(starts, dtype=np.int64)
+    return out
+
+
 def respace_device(sample: dict, pixdim, keys=("image", "label"),
                    modes=("trilinear", "nearest"), window: tuple | None = None):
     """Device twin of ``medseg.data.transforms.respace``: same MONAI

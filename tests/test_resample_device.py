@@ -99,3 +99,52 @@ def test_identity_passthrough_with_window(rng):
     )
     ref = scale_intensity_range({"image": data}, -175.0, 250.0, 0.0, 1.0, clip=True)["image"]
     np.testing.assert_allclose(np.asarray(got["image"]), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_device_val_pipeline_matches_host(rng, tmp_path):
+    """End-to-end: the device CT validation chain (respace+window fused,
+    device orient, device foreground crop) matches the host chain on a
+    synthetic NIfTI with an anisotropic affine."""
+    from medseg.config import DataConfig
+    from medseg.data.nifti import write_nifti
+    from medseg.data.pipelines import ct_val_transforms, ct_val_transforms_device
+
+    data = (rng.normal(size=(14, 12, 10)) * 150).astype(np.float32)
+    data[4:9, 3:8, 2:7] += 400.0  # foreground blob for CropForeground
+    aff = np.diag([1.5, 0.8, 2.0, 1.0])
+    aff[:3, 3] = [3.0, -1.0, 2.0]
+    path = str(tmp_path / "vol.nii.gz")
+    write_nifti(path, data, aff)
+
+    cfg = DataConfig(crop_foreground=True)
+    host = ct_val_transforms(cfg)({"image": path})
+    dev = ct_val_transforms_device(cfg)({"image": path})
+    assert np.shape(dev["image"]) == np.shape(host["image"])
+    np.testing.assert_allclose(dev["image_affine"], host["image_affine"], atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(dev["image"]), host["image"], rtol=3e-4, atol=3e-4
+    )
+
+
+def test_device_mri_pipeline_matches_host(rng, tmp_path):
+    from medseg.config import DataConfig
+    from medseg.data.nifti import write_nifti
+    from medseg.data.pipelines import mri_val_transforms, mri_val_transforms_device
+
+    data = rng.normal(size=(14, 12, 10, 4)).astype(np.float32)
+    data[data < -0.5] = 0.0  # nonzero mask exercise
+    lab = rng.integers(0, 4, size=(14, 12, 10)).astype(np.float32)
+    aff = np.diag([1.3, 0.9, 1.1, 1.0])
+    img_path = str(tmp_path / "img.nii.gz")
+    lab_path = str(tmp_path / "lab.nii.gz")
+    write_nifti(img_path, data, aff)
+    write_nifti(lab_path, lab, aff)
+
+    cfg = DataConfig(task="mri", crop_foreground=False)
+    sample = {"image": img_path, "label": lab_path}
+    host = mri_val_transforms(cfg)(dict(sample))
+    dev = mri_val_transforms_device(cfg)(dict(sample))
+    np.testing.assert_allclose(
+        np.asarray(dev["image"]), host["image"], rtol=3e-4, atol=3e-4
+    )
+    np.testing.assert_allclose(np.asarray(dev["label"]), host["label"], atol=1e-5)
