@@ -1,5 +1,7 @@
 """Stage breakdown of fast_apply_v3 at serving shapes (chained in-jit reps)."""
 import sys, time
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import os
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_medseg"))
@@ -134,7 +136,8 @@ def main():
         k_out = jnp.zeros((co_pad, fs), dt).at[:n_classes].set(pp["out"]["conv"]["kernel"][0, 0, 0].astype(dt).T)
         bias = jnp.zeros((co_pad, 1), jnp.float32).at[:n_classes, 0].set(pp["out"]["conv"]["bias"].astype(jnp.float32))
         logits_of = outhead_of(z2, res, za2, zb2, za3, zb3, k_out, bias, out_dtype=jnp.float32)
-        return logits_of.reshape(b_, d_, co_pad, h_, wp)[:, :, :n_classes, :, 1:w_+1]
+        from medseg.kernels.conv_of import from_output_form
+        return from_output_form(logits_of, h_, w_)[..., :n_classes]
 
     t_fr = chain_bench("fused full-res chain v3", fullres_v3, x, p, dec1)
     acc = t_vit + t_e2 + t_e3 + t_e4 + t_d5 + t_d4 + t_d3 + t_fr

@@ -48,8 +48,10 @@ def main():
     # ---- 1. model-only chains (python-loop device chaining: the relay's
     # remote-compile endpoint 413s on a scan-wrapped model graph) ----
     @jax.jit
-    def chained_call(x, wgt):
-        out = fast_apply_v3(model, params, x, flat_k16=True, out_scale=wgt, pp=True)
+    def chained_call(p, x, wgt):
+        # params must be an ARGUMENT: a closed-over param tree is baked into
+        # the compile payload as constants and 413s the relay's endpoint
+        out = fast_apply_v3(model, p, x, flat_k16=True, out_scale=wgt, pp=True)
         probe = out[0, 0, 0, 0, 0].astype(jnp.float32)  # real dependency
         return x + 1e-20 * probe, out
 
@@ -57,11 +59,11 @@ def main():
         x0 = 0.3 + 0.2 * jax.random.normal(jax.random.key(2), (b, ROI, ROI, ROI, 1), jnp.float32)
         wgt = jnp.ones((b, ROI, ROI, ROI, 1), jnp.float32)
         reps = 20
-        x, out = chained_call(x0, wgt)
+        x, out = chained_call(params, x0, wgt)
         sync1(out)
         t0 = time.perf_counter()
         for _ in range(reps):
-            x, out = chained_call(x, wgt)
+            x, out = chained_call(params, x, wgt)
         sync1(out)
         dt = (time.perf_counter() - t0) / reps
         per_w = dt / b * 1e3

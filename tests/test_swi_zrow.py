@@ -130,3 +130,17 @@ def test_zrow_with_v3_fallback_model(rng):
     )
     scale = float(np.max(np.abs(np.asarray(ref))))
     assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.02 * scale
+
+
+@pytest.mark.parametrize("h_group", [1, 2])
+def test_zrow_h_group_matches(rng, h_group):
+    """h-row grouping (bigger model batches) must not change the blend."""
+    vol = rng.normal(size=(20, 20, 14, 3)).astype(np.float32)  # nh even
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, mode="gaussian")
+    ref = sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec)
+    got = sliding_window_inference_zrow(
+        jnp.asarray(w), jnp.asarray(vol), make_apply_pp(w, 5, 8), 5, spec,
+        acc_dtype="fp32", h_group=h_group,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
