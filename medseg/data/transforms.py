@@ -293,6 +293,10 @@ def respace(
             coords = grid @ m[:3, :3].T + m[:3, 3]
             if mode == "nearest":
                 res = _nearest_sample(data, coords)
+            elif data.ndim == 3:  # _trilinear_sample expects a channel dim
+                res = _trilinear_sample(data[..., None], coords)[..., 0].astype(
+                    data.dtype
+                )
             else:
                 res = _trilinear_sample(data, coords).astype(data.dtype)
         out[key] = np.ascontiguousarray(res)

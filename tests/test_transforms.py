@@ -159,3 +159,22 @@ def test_full_ct_chain_on_synthetic_nifti(tmp_path, rng):
     assert out["image"].shape == out["label"].shape
     assert out["image"].min() >= 0.0 and out["image"].max() <= 1.0
     assert out["image"].shape[0] >= 20  # respaced 2mm -> 1mm roughly doubles
+
+
+def test_numpy_resample_fallback_warns(monkeypatch, caplog):
+    """When medseg.native is unavailable the GIL-bound numpy resample path
+    must announce itself (round-2 advisor: loader threads silently serialize
+    without the C++ resampler)."""
+    import logging
+
+    import medseg.data.transforms as T2
+
+    monkeypatch.setattr(T2, "_native_resample", lambda *a, **k: None)
+    monkeypatch.setattr(T2, "_warned_numpy_resample", False)
+    sample = {
+        "image": np.random.default_rng(0).normal(size=(6, 7, 8)).astype(np.float32),
+        "image_affine": np.diag([1.5, 1.0, 1.0, 1.0]),
+    }
+    with caplog.at_level(logging.WARNING, logger="medseg"):
+        T2.respace(sample, (1.0, 1.0, 1.0), keys=("image",), modes=("trilinear",))
+    assert any("numpy" in r.message for r in caplog.records)
