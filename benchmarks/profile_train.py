@@ -31,6 +31,7 @@ ROI, K, B = 96, 14, 4
 
 
 def sync1(x):
+    x = jax.tree_util.tree_leaves(x)[0]  # works for pytrees (grads) too
     return float(np.asarray(jax.lax.slice(x.reshape(-1), (0,), (1,)))[0])
 
 
@@ -59,18 +60,26 @@ def main():
         )
         tag = "remat" if remat else "noremat"
 
-        step = make_train_step(model, task="ct", donate=False)
-        timeit(f"full step ({tag})", lambda s=state: step(s, {"image": img, "label": lab}))
-
-        def loss_fn(params):
+        def loss_fn(params, model=model):
             logits = model.apply(params, img, return_encoder_features=False)
             return dice_ce_loss(logits, lab, softmax=True, to_onehot_y=True)
 
-        grads = jax.jit(jax.grad(loss_fn))
-        timeit(f"grads only ({tag})", lambda s=state: grads(s.params))
-
         fwd = jax.jit(loss_fn)
         timeit(f"fwd loss only ({tag})", lambda s=state: fwd(s.params))
+        if not remat:
+            continue  # bwd without remat OOMs at batch 4 (20.8G > 15.75G)
+
+        step = make_train_step(model, task="ct", donate=False)
+        timeit(f"full step ({tag})", lambda s=state: step(s, {"image": img, "label": lab}))
+
+        grads_fn = jax.jit(jax.grad(loss_fn))
+        timeit(f"grads only ({tag})", lambda s=state: grads_fn(s.params))
+
+        # optimizer alone: apply precomputed grads (jitted)
+        g = grads_fn(state.params)
+        opt_step = jax.jit(lambda s, gg: s.apply_gradients(gg))
+        timeit("apply_gradients (AdamW) only",
+               lambda s=state, g=g: opt_step(s, g).params)
 
     # loss alone on fixed logits
     logits0 = jax.random.normal(jax.random.key(4), (B, ROI, ROI, ROI, K), jnp.bfloat16)

@@ -37,6 +37,7 @@ tests/test_conv_of.py (interpret mode on CPU, real kernels on TPU).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -71,12 +72,22 @@ def _x_off(h: int, w: int) -> int:
     return 0 if _compact(h, w) else 1
 
 
+# All of-form tensors carry DPAD guard rows at BOTH ends of the z axis:
+# shape (B, D + 2*DPAD, C, LO) with data at rows [DPAD, DPAD + D). The pad
+# rows hold UNDEFINED values (kernels never write them) and exist so the
+# single-stream z-halo windows ([zb*z-1, zb*z+zb+1) in data coords) never
+# index out of bounds — Mosaic's Element indexing supports no low padding.
+# Every consumer must mask rows by global-z validity (the kernels do, via
+# ``_zvalid``) or slice them off (``from_output_form`` does).
+DPAD = 1
+
+
 def to_output_form(x: jax.Array, dtype=None) -> jax.Array:
-    """NDHWC (B, D, H, W, C) -> output-form flat (B, D, C, H*WR).
+    """NDHWC (B, D, H, W, C) -> output-form flat (B, D + 2*DPAD, C, H*WR).
 
     Compact convention (H*W % 128 == 0): pure transpose+reshape, x at lane x.
     Padded convention otherwise: WR = _wp(W) lanes per y-row, valid x data at
-    lanes [1, w+1), pad lanes zero.
+    lanes [1, w+1), pad lanes zero. Data sits at z rows [DPAD, DPAD + D).
     """
     b, d, h, w, c = x.shape
     xt = x.transpose(0, 1, 4, 2, 3)  # (B, D, C, H, W)
@@ -84,27 +95,33 @@ def to_output_form(x: jax.Array, dtype=None) -> jax.Array:
         wp = _wp(w)
         xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, 0), (1, wp - w - 1)))
     out = xt.reshape(b, d, c, h * _lanes_row(h, w))
+    out = jnp.pad(out, ((0, 0), (DPAD, DPAD), (0, 0), (0, 0)))
     return out.astype(dtype) if dtype is not None else out
 
 
-def from_output_form(o: jax.Array, h: int, w: int) -> jax.Array:
-    """Output-form (B, D, C, H*WR) -> NDHWC (B, D, H, W, C)."""
-    b, d, c, _ = o.shape
+def from_output_form(o: jax.Array, h: int, w: int, dpad: int = DPAD) -> jax.Array:
+    """Output-form (B, D + 2*dpad, C, H*WR) -> NDHWC (B, D, H, W, C).
+    Pass ``dpad=0`` for unpadded arrays (e.g. ``outhead_of`` logits)."""
+    b, dp, c, _ = o.shape
+    d = dp - 2 * dpad
     wr = _lanes_row(h, w)
     x0 = _x_off(h, w)
-    o = o.reshape(b, d, c, h, wr)
+    o = o[:, dpad : dpad + d].reshape(b, d, c, h, wr)
     if x0 or wr != w:
         o = o[..., x0 : x0 + w]
     return o.transpose(0, 1, 3, 4, 2)
 
 
 def _zb_for(d: int, c_in: int) -> int:
-    """z-slices per grid step: amortizes the 3x z-halo re-read (to (Z+2)/Z),
+    """z-slices per grid step: amortizes the z-halo overfetch (to (Z+2)/Z),
     per-step DMA/pipeline overhead, and widens the matmul N by Z. Bounded by
-    VMEM (patch matrix is (9*C, Z*LO))."""
-    limit = 4 if c_in <= 16 else 2
-    for z in (limit, 2):
-        if d % z == 0:
+    VMEM (patch matrix is (9*C, Z*LO)). With the single-stream halo fetch,
+    bigger blocks win for the thin-C convs (standalone zb sweep at 8x96^3
+    C16: 4/8/12/16 -> 2.82/2.53/4.06/2.35 ms; model-level full-res chain:
+    limit 4/8/16 -> 19.2/18.6/19.1 ms, so 8); C>16 keeps zb=2 for VMEM."""
+    limit = int(os.environ.get("MEDSEG_ZB16", "8")) if c_in <= 16 else 2
+    for z in (limit, 8, 4, 2):
+        if z <= limit and d % z == 0:
             return z
     return 1
 
@@ -164,18 +181,22 @@ def _pp_ok(h: int, w: int) -> bool:
 
 
 def to_pp(x: jax.Array, dtype=None) -> jax.Array:
-    """NDHWC (B, D, H, W, C) -> parity-plane flat (B, D, C, 4*SEG)."""
+    """NDHWC (B, D, H, W, C) -> parity-plane flat (B, D + 2*DPAD, C, 4*SEG),
+    data at z rows [DPAD, DPAD + D)."""
     b, d, h, w, c = x.shape
     xt = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
     xt = xt.transpose(0, 1, 6, 3, 5, 2, 4)  # (B, D, C, j, l, hh, ww)
     out = xt.reshape(b, d, c, h * w)
+    out = jnp.pad(out, ((0, 0), (DPAD, DPAD), (0, 0), (0, 0)))
     return out.astype(dtype) if dtype is not None else out
 
 
-def from_pp(o: jax.Array, h: int, w: int) -> jax.Array:
-    """Parity-plane flat (B, D, C, 4*SEG) -> NDHWC (B, D, H, W, C)."""
-    b, d, c, _ = o.shape
-    o = o.reshape(b, d, c, 2, 2, h // 2, w // 2)
+def from_pp(o: jax.Array, h: int, w: int, dpad: int = DPAD) -> jax.Array:
+    """Parity-plane flat (B, D + 2*dpad, C, 4*SEG) -> NDHWC (B, D, H, W, C).
+    Pass ``dpad=0`` for unpadded arrays (e.g. ``outhead_of`` logits)."""
+    b, dp, c, _ = o.shape
+    d = dp - 2 * dpad
+    o = o[:, dpad : dpad + d].reshape(b, d, c, 2, 2, h // 2, w // 2)
     return o.transpose(0, 1, 5, 3, 6, 4, 2).reshape(b, d, h, w, c)
 
 
@@ -368,12 +389,30 @@ def _stack_z(full, c_out: int, zb: int, lo: int):
     )
 
 
-def _sel_rows(x0, x1, x2, zb: int):
-    """Three (ZB, C, LO) stream blocks (z-block index maps zb-1/zb/zb+1,
-    clamped) -> the ZB+2 rows needed for outputs j=0..ZB-1 (global z rows
-    ZB*zblk-1 .. ZB*(zblk+1)); clamped-garbage rows are zeroed by zvalid."""
-    raw = jnp.concatenate([x0[0], x1[0], x2[0]], axis=0)  # (3ZB, C, LO)
-    return jax.lax.slice_in_dim(raw, zb - 1, 2 * zb + 1, axis=0)
+def _halo_spec(zb: int, arr_c: int, lo: int) -> pl.BlockSpec:
+    """Single-stream halo fetch: one ``pl.Element`` window of ZB+2 z-rows
+    (data rows [ZB*z-1, ZB*z+ZB], i.e. padded rows [ZB*z, ZB*z+ZB+2) with
+    DPAD=1) per grid step, delivered exactly in the ``sel`` row order
+    (row j = global data z = ZB*zblk + j - 1). Replaces the original three
+    offset z-block streams, which re-DMA'd every input row 3x — measured
+    DMA-bound at ~388 GB/s of *actual* traffic (probe_conv_kernel/probe_zb);
+    the halo window fetches (ZB+2)/ZB ~= 1.5x instead. The DPAD guard rows
+    keep every window in bounds (Mosaic Element indexing supports no low
+    padding); their garbage values MUST be masked by ``_zvalid`` before use
+    (they are, in both kernels)."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(zb + 2), pl.Element(arr_c), pl.Element(lo)),
+        lambda bb, z: (bb, DPAD + z * zb - 1, 0, 0),
+    )
+
+
+def _padded_out_spec(zb: int, arr_c: int, lo: int) -> pl.BlockSpec:
+    """Write ZB z-rows at data offset ZB*z into a DPAD-padded of-form output
+    (pad rows left unwritten/undefined)."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(zb), pl.Element(arr_c), pl.Element(lo)),
+        lambda bb, z: (bb, DPAD + z * zb, 0, 0),
+    )
 
 
 def _zvalid(zblk, zb: int, d: int, c: int, lo: int):
@@ -399,14 +438,14 @@ def _kernel(
     pp: bool = False,
 ):
     if residual:
-        (x0, x1, x2, a_ref, b_ref, w_ref, wr_ref,
+        (xh, a_ref, b_ref, w_ref, wr_ref,
          o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref) = refs
     else:
-        x0, x1, x2, a_ref, b_ref, w_ref, o_ref, s_ref, ss_ref = refs
+        xh, a_ref, b_ref, w_ref, o_ref, s_ref, ss_ref = refs
     zblk = pl.program_id(1)
     lo = h * wp if not pp else h * w
 
-    sel = _sel_rows(x0, x1, x2, zb).astype(jnp.float32)  # (ZB+2, C, LO)
+    sel = xh[0].astype(jnp.float32)  # halo window rows (ZB+2, C, LO)
     if input_act == "affine_leaky":
         sel = sel * a_ref[0][None] + b_ref[0][None]
         sel = jnp.where(sel >= 0, sel, LEAKY_SLOPE * sel)
@@ -480,7 +519,8 @@ def conv3x3x3_of(
     """Fused conv. Returns (out, s, ss) or (out, s, ss, res, rs, rss) with
     ``residual=True``. ``s``/``ss`` are (B, CO, 128) lane-broadcast sums /
     sums-of-squares over the valid voxels (take lane 0)."""
-    bsz, d, c, lo = x.shape
+    bsz, dp, c, lo = x.shape
+    d = dp - 2 * DPAD
     wp = w if lo == h * w else _wp(w)  # compact vs padded lane convention
     assert lo == h * wp, (lo, h, w, wp)
     assert not pp or _pp_ok(h, w)
@@ -495,21 +535,15 @@ def conv3x3x3_of(
         a = jnp.zeros((bsz, c, 1), jnp.float32)
         b = jnp.zeros((bsz, c, 1), jnp.float32)
 
-    def row_spec(k):
-        return pl.BlockSpec(
-            (1, zb, c, lo),
-            lambda bb, z, k=k: (bb, jnp.clip(z - 1 + k, 0, nzb - 1), 0, 0),
-        )
-
     ab_spec = pl.BlockSpec((1, c, 1), lambda bb, z: (bb, 0, 0))
     stat_spec = pl.BlockSpec((1, c_out, LANE), lambda bb, z: (bb, 0, 0))
-    out_spec = pl.BlockSpec((1, zb, c_out, lo), lambda bb, z: (bb, z, 0, 0))
+    out_spec = _padded_out_spec(zb, c_out, lo)
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
-    res_shape = jax.ShapeDtypeStruct((bsz, d, c_out, lo), out_dtype)
+    res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
-    in_specs = [row_spec(0), row_spec(1), row_spec(2), ab_spec, ab_spec,
+    in_specs = [_halo_spec(zb, c, lo), ab_spec, ab_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
-    operands = [x, x, x, a, b, wmat]
+    operands = [x, a, b, wmat]
     out_specs = [out_spec, stat_spec, stat_spec]
     out_shape = [res_shape, stat_shape, stat_shape]
     if residual:
@@ -545,7 +579,7 @@ def conv3x3x3_of(
 
 
 def _combine_kernel(
-    up0, up1, up2, y0, y1, y2, x0, x1, x2,
+    uph, yh, xh,
     ay_ref, by_ref, ax_ref, bx_ref, w_ref, wr_ref,
     o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref,
     *, c_half: int, c_out: int, h: int, w: int, wp: int, d: int, zb: int,
@@ -559,9 +593,9 @@ def _combine_kernel(
     lo = h * wp if not pp else h * w
     c = 2 * c_half
 
-    u_sel = _sel_rows(up0, up1, up2, zb).astype(jnp.float32)  # (ZB+2, CH, LO)
-    y_sel = _sel_rows(y0, y1, y2, zb).astype(jnp.float32)
-    x_sel = _sel_rows(x0, x1, x2, zb).astype(jnp.float32)  # (ZB+2, 1, LO)
+    u_sel = uph[0].astype(jnp.float32)  # halo rows (ZB+2, CH, LO)
+    y_sel = yh[0].astype(jnp.float32)
+    x_sel = xh[0].astype(jnp.float32)  # (ZB+2, 1, LO)
     comb = (
         y_sel * ay_ref[0][None]
         + by_ref[0][None]
@@ -638,7 +672,8 @@ def conv3x3x3_of_combine(
     the [up ; enc1-combined] 2*C_half-channel input inline from the up /
     y / x row streams and runs the 3x3x3 conv + residual tap + stats.
     Returns (out, s, ss, res, rs, rss)."""
-    bsz, d, c_half, lo = up.shape
+    bsz, dp, c_half, lo = up.shape
+    d = dp - 2 * DPAD
     wp = w if lo == h * w else _wp(w)  # compact vs padded lane convention
     assert lo == h * wp, (lo, h, w, wp)
     c_out = wmat.shape[0] // 3
@@ -648,17 +683,11 @@ def conv3x3x3_of_combine(
     if _pair_ok(zb, 2 * c_half):
         wmat = weight_matrix_pair(wmat)
 
-    def row_spec(arr_c, k):
-        return pl.BlockSpec(
-            (1, zb, arr_c, lo),
-            lambda bb, z, k=k: (bb, jnp.clip(z - 1 + k, 0, nzb - 1), 0, 0),
-        )
-
     ab_spec = pl.BlockSpec((1, c_half, 1), lambda bb, z: (bb, 0, 0))
     stat_spec = pl.BlockSpec((1, c_out, LANE), lambda bb, z: (bb, 0, 0))
-    out_spec = pl.BlockSpec((1, zb, c_out, lo), lambda bb, z: (bb, z, 0, 0))
+    out_spec = _padded_out_spec(zb, c_out, lo)
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
-    res_shape = jax.ShapeDtypeStruct((bsz, d, c_out, lo), out_dtype)
+    res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
     kern = functools.partial(
         _combine_kernel,
@@ -669,9 +698,9 @@ def conv3x3x3_of_combine(
         kern,
         grid=(bsz, nzb),
         in_specs=[
-            row_spec(c_half, 0), row_spec(c_half, 1), row_spec(c_half, 2),
-            row_spec(c_half, 0), row_spec(c_half, 1), row_spec(c_half, 2),
-            row_spec(1, 0), row_spec(1, 1), row_spec(1, 2),
+            _halo_spec(zb, c_half, lo),
+            _halo_spec(zb, c_half, lo),
+            _halo_spec(zb, 1, lo),
             ab_spec, ab_spec, ab_spec, ab_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -680,7 +709,7 @@ def conv3x3x3_of_combine(
         out_shape=(res_shape, stat_shape, stat_shape, res_shape, stat_shape, stat_shape),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(up, up, up, y, y, y, x1, x1, x1, ay, by, ax, bx, wmat, wres)
+    )(up, y, x1, ay, by, ax, bx, wmat, wres)
 
 
 def _outhead_kernel(
@@ -731,23 +760,29 @@ def outhead_of(
     out_dtype=jnp.float32,
     interpret: bool = False,
 ):
-    """Output-form logits (B, D, CO_pad, LO). Pad channels carry bias only;
+    """UNPADDED output-form logits (B, D, CO_pad, LO) — the pallas chain's
+    exit point drops the DPAD guard rows. Pad channels carry bias only;
     callers slice [:n_classes]. ``scale`` multiplies the logits in the
     kernel epilogue (sliding-window blend weights)."""
-    bsz, d, c, lo = z.shape
+    bsz, dp, c, lo = z.shape
+    d = dp - 2 * DPAD
     co = kout.shape[0]
     zb = _zb_for(d, c)
     nzb = d // zb
-    row = lambda: pl.BlockSpec((1, zb, c, lo), lambda bb, zz: (bb, zz, 0, 0))
+    # no z-halo here (1x1x1 head): aligned ZB windows at data offset ZB*zz
+    row = lambda arr_c: pl.BlockSpec(
+        (pl.Element(1), pl.Element(zb), pl.Element(arr_c), pl.Element(lo)),
+        lambda bb, zz: (bb, DPAD + zz * zb, 0, 0),
+    )
     ab_spec = pl.BlockSpec((1, c, 1), lambda bb, zz: (bb, 0, 0))
     in_specs = [
-        row(), row(), ab_spec, ab_spec, ab_spec, ab_spec,
+        row(c), row(c), ab_spec, ab_spec, ab_spec, ab_spec,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     operands = [z, res, az, bz, ar, br, kout, bias]
     if scale is not None:
-        in_specs.append(pl.BlockSpec((1, zb, 1, lo), lambda bb, zz: (bb, zz, 0, 0)))
+        in_specs.append(row(1))
         operands.append(scale)
     return pl.pallas_call(
         functools.partial(
@@ -790,10 +825,12 @@ def convt_expand_of(
     T = T + bias[None, None, None, :, None, None, None, None]
     T = T.reshape(b, s2, co, s2, s2).astype(dtype)
     if _compact(s2, s2):
-        return T.reshape(b, s2, co, s2 * s2)
-    wp = _wp(s2)
-    T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, 0), (1, wp - s2 - 1)))
-    return T.reshape(b, s2, co, s2 * wp)
+        T = T.reshape(b, s2, co, s2 * s2)
+    else:
+        wp = _wp(s2)
+        T = jnp.pad(T, ((0, 0), (0, 0), (0, 0), (0, 0), (1, wp - s2 - 1)))
+        T = T.reshape(b, s2, co, s2 * wp)
+    return jnp.pad(T, ((0, 0), (DPAD, DPAD), (0, 0), (0, 0)))
 
 
 def convt_expand_pp(
@@ -810,7 +847,9 @@ def convt_expand_pp(
     compact-convention einsum+pad+copy chain cost ~8 ms/batch in the
     round-2 SWI trace). Input is the 48^3 decoder's native of-form output,
     so the NDHWC round-trip disappears too."""
-    b, s, ci, seg = t_of.shape
+    b, sp, ci, seg = t_of.shape
+    s = sp - 2 * DPAD
+    t_of = t_of[:, DPAD : DPAD + s]  # drop guard rows (garbage would poison)
     kern = convt_params["kernel"]  # (2, 2, 2, CO, CI) torch orientation
     bias = convt_params["bias"]
     co = kern.shape[3]
@@ -822,7 +861,8 @@ def convt_expand_pp(
     m = m + b8[None, :, None, None]
     m = m.reshape(b, 2, 4, co, s, seg)  # (B, i, (j,l), CO, S, SEG)
     m = m.transpose(0, 4, 1, 3, 2, 5)  # (B, S, i, CO, (j,l), SEG)
-    return m.reshape(b, 2 * s, co, 4 * seg).astype(dtype)
+    out = m.reshape(b, 2 * s, co, 4 * seg).astype(dtype)
+    return jnp.pad(out, ((0, 0), (DPAD, DPAD), (0, 0), (0, 0)))
 
 
 def norm_affine_from_stats(

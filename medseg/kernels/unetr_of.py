@@ -492,7 +492,7 @@ def fast_apply_v3(
     if pp:
         from medseg.kernels.conv_of import from_pp
 
-        out = from_pp(logits_of, h, w)[..., :n_classes]
+        out = from_pp(logits_of, h, w, dpad=0)[..., :n_classes]
         return out.transpose(0, 1, 4, 2, 3) if channels_first else out
     if flat_k16 and wp == w:
         # keep ALL padded channels: the flat-K16 accumulator wants (B, D, H,

@@ -81,11 +81,20 @@ def dice_loss(
 
 
 def softmax_ce_with_label_indices(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """``torch.nn.CrossEntropyLoss`` over voxels: mean of -log softmax at label."""
+    """``torch.nn.CrossEntropyLoss`` over voxels: mean of -log softmax at label.
+
+    The label pick is a broadcast iota-compare masked sum, NOT
+    ``take_along_axis``: a minor-dim gather defeats XLA:TPU fusion and
+    costs 67 ms at (4, 96^3, 14) fp32 vs 1.9 ms for the mask form
+    (benchmarks/probe_loss.py), with bit-identical values (exactly one
+    mask hit per voxel).
+    """
     if labels.ndim == logits.ndim and labels.shape[-1] == 1:
         labels = labels[..., 0]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    picked = jnp.take_along_axis(logp, labels.astype(jnp.int32)[..., None], axis=-1)
+    cls = jax.lax.broadcasted_iota(jnp.int32, (logp.shape[-1],), 0)
+    mask = labels.astype(jnp.int32)[..., None] == cls
+    picked = jnp.sum(jnp.where(mask, logp, 0.0), axis=-1)
     return -jnp.mean(picked)
 
 

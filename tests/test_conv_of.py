@@ -178,7 +178,7 @@ def test_outhead_of_matches_explicit(rng):
     )
     comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
     ref = jnp.einsum("bdhwc,ck->bdhwk", comb, kout_full) + bias_full
-    got = from_output_form(out, H, W)[..., :n_classes]
+    got = from_output_form(out, H, W, dpad=0)[..., :n_classes]
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
