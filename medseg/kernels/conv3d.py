@@ -187,6 +187,74 @@ import os as _os
 
 PALLAS_PER_CONV = _os.environ.get("MEDSEG_PALLAS_CONV", "0") == "1"
 
+# Of-form conv routing for the TRAINING path (fwd + bwd-data through the
+# halo-fetch Pallas kernel in medseg/kernels/conv_of.py, filter-grad as an
+# explicit bf16 XLA conv). Motivation (benchmarks/probe_convbwd.py, v5e,
+# 4x96^3 16->16): XLA conv fwd 10.9 ms / bwd 22.3 ms regardless of dtype
+# (layout-bound), vs ~1.3 ms for the of-form kernel — and the old fp32-vjp
+# backward gains nothing from fp32 (bf16 dk rel err 2e-3). "of" routes
+# eligible shapes; "xla" restores the previous behavior.
+TRAIN_CONV = _os.environ.get("MEDSEG_TRAIN_CONV", "of")
+_OF_MIN_HW = 48 * 48
+
+
+def _of_ok(xshape, c_out: int) -> bool:
+    _, d, h, w, c = xshape
+    return (
+        h * w >= _OF_MIN_HW
+        and (h * w) % 128 == 0  # compact lane convention only
+        and d % 2 == 0
+        and c <= 64
+        and c_out <= 64
+    )
+
+
+def _route_of(x, kernel, interpret: bool = False) -> bool:
+    return (
+        TRAIN_CONV == "of"
+        and (interpret or jax.default_backend() == "tpu")
+        and _of_ok(x.shape, kernel.shape[-1])
+    )
+
+
+def _of_conv(x: jax.Array, kernel: jax.Array, interpret: bool = False) -> jax.Array:
+    """NDHWC conv via the of-form halo kernel; fp32 output like ``_xla_conv``."""
+    from medseg.kernels import conv_of
+
+    b, d, h, w, c = x.shape
+    cd = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+    x_of = conv_of.to_output_form(x, dtype=cd)
+    wmat = weight_matrix(kernel, cd)
+    z = jnp.zeros((b, c, 1), jnp.float32)
+    y_of, _, _ = conv_of.conv3x3x3_of(
+        x_of, wmat, z, z, h=h, w=w, input_act="none",
+        out_dtype=jnp.float32, interpret=interpret,
+    )
+    return conv_of.from_output_form(y_of, h, w)
+
+
+def _conv_dx(g: jax.Array, kernel: jax.Array, interpret: bool = False) -> jax.Array:
+    """Data grad: same-pad conv of the cotangent with the spatially flipped,
+    io-transposed kernel (exact for stride-1 zero-padded 3^3 convs)."""
+    kflip = jnp.flip(kernel, axis=(0, 1, 2)).swapaxes(3, 4)
+    return _of_conv(g.astype(jnp.bfloat16), kflip.astype(jnp.bfloat16), interpret)
+
+
+def _conv_dk(x: jax.Array, g: jax.Array, cd) -> jax.Array:
+    """Filter grad as one conv contracting the batch dim: lhs = x with
+    batch<->feature swapped (spec CDHWN), rhs = the cotangent as a
+    whole-volume kernel (spec IDHWO); padding 1 -> 3^3 spatial output.
+    Verified against the fp32 vjp oracle in benchmarks/probe_convbwd.py."""
+    dk = jax.lax.conv_general_dilated(
+        x.astype(cd),
+        g.astype(cd),
+        (1, 1, 1),
+        [(1, 1)] * 3,
+        dimension_numbers=("CDHWN", "IDHWO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return dk.transpose(1, 2, 3, 0, 4)  # (CI,3,3,3,CO) -> (3,3,3,CI,CO)
+
 
 @jax.custom_vjp
 def conv3x3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -195,6 +263,8 @@ def conv3x3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
     Pallas fast path on TPU when `flat_supported` and enabled; exact XLA
     fallback otherwise (CPU tests, unusual shapes).
     """
+    if _route_of(x, kernel):
+        return _of_conv(x, kernel)
     if (
         PALLAS_PER_CONV
         and jax.default_backend() == "tpu"
@@ -209,11 +279,19 @@ def _fwd(x, kernel):
 
 
 def _bwd(res, g):
+    x, kernel = res
+    if _route_of(x, kernel):
+        # TPU training path: bwd-data through the of-form Pallas kernel
+        # (flipped-transposed weights), filter grad as one explicit bf16
+        # conv (XLA's own bwd convs cost 22 ms at 4x96^3x16 vs ~2.5 here;
+        # fp32 buys nothing — probe_convbwd.py).
+        dx = _conv_dx(g, kernel)
+        dk = _conv_dk(x, g, jnp.bfloat16)
+        return dx.astype(x.dtype), dk.astype(kernel.dtype)
     # Backward through the mathematically-identical XLA conv in fp32
     # (correct by construction; XLA's conv transpose rules don't handle
     # mixed-precision cotangents with preferred_element_type), cast back to
     # the parameter dtypes. Not the inference hot path.
-    x, kernel = res
     _, vjp = jax.vjp(
         _xla_conv, x.astype(jnp.float32), kernel.astype(jnp.float32)
     )
