@@ -80,6 +80,28 @@ def sample_partition_indices(
     )
 
 
+def sample_half_indices(rng: np.random.Generator, dim_size: int) -> np.ndarray:
+    """Legacy 2-half sampling rule (`unetr_ranking_pretraining_3d.py:148-150`):
+    one slice drawn uniformly from the LOWER half of the axis and one —
+    independently — from the UPPER half (unlike `sample_partition_indices`,
+    which shares a single random offset across all partitions).
+
+    The legacy ``extract_triplets`` (`unetr_ranking_pretraining_3d.py:135-200`,
+    dead code upstream — its call is commented out at `:266-268`) is exactly
+    the P=2 instance of the partition machinery with this sampling rule: its
+    two both-direction ``product(permutations(...), ...)`` loops enumerate the
+    same 96 triplets as `triplet_index_table(2)` in the same order, so the
+    full legacy behavior is
+    ``gather_partition_slices(feats, sample_half_indices(rng, size), axis)``
+    followed by the losses with ``num_partitions=2`` (parity-tested against a
+    literal loop oracle in tests/test_ranking.py).
+    """
+    half = dim_size // 2
+    low = int(rng.integers(0, half))
+    high = half + int(rng.integers(0, dim_size - half))
+    return np.asarray([low, high], dtype=np.int32)
+
+
 @lru_cache(maxsize=None)
 def triplet_index_table(num_partitions: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Static (ref, sim, dissim) flat-slice indices, reference enumeration order.

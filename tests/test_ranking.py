@@ -18,6 +18,7 @@ from medseg.ops.ranking import (
     gather_partition_slices,
     info_nce_loss,
     pairwise_channel_cosine,
+    sample_half_indices,
     sample_partition_indices,
     triplet_index_table,
 )
@@ -107,6 +108,73 @@ def test_info_nce_matches_reference_loop(rng):
     feats_j = jnp.asarray(feats.transpose(0, 2, 3, 4, 1))
     slices = gather_partition_slices(feats_j, jnp.asarray(idx), 0)
     got = info_nce_loss(pairwise_channel_cosine(slices), P, TEMP)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-4)
+
+
+def oracle_slices_legacy(feats_ncdhw: np.ndarray, slice1_idx, slice2_idx, axis: int):
+    """Literal mirror of the LEGACY extract_triplets
+    (`unetr_ranking_pretraining_3d.py:135-200`): 4 views at each of the two
+    half-volume slice indices, then both-direction product/permutations."""
+    cos = torch.nn.CosineSimilarity(dim=-1, eps=1e-6)
+    f1, f2 = feats_ncdhw[:2], feats_ncdhw[2:]
+
+    def views_at(idx):
+        out = []
+        for vol in (f1, f2):
+            for b in range(2):
+                sl = np.take(vol[b], idx, axis=axis + 1)
+                out.append(torch.tensor(sl.reshape(sl.shape[0], -1)))
+        return out
+
+    group1, group2 = views_at(slice1_idx), views_at(slice2_idx)
+    reference, similar, dissimilar = [], [], []
+    for (r, s), d in itertools.product(itertools.permutations(group1, 2), group2):
+        reference.append(r)
+        similar.append(s)
+        dissimilar.append(d)
+    for (r, s), d in itertools.product(itertools.permutations(group2, 2), group1):
+        reference.append(r)
+        similar.append(s)
+        dissimilar.append(d)
+    return cos, reference, similar, dissimilar
+
+
+def test_legacy_2half_table_size():
+    r, s, d = triplet_index_table(2)
+    assert len(r) == len(s) == len(d) == 96  # 2 * 12 perms * 4 dissims
+    assert all(ri // 4 != di // 4 for ri, di in zip(r, d))
+
+
+def test_legacy_2half_sampling(rng):
+    for size in (8, 10, 17):
+        for _ in range(20):
+            low, high = sample_half_indices(rng, size)
+            assert 0 <= low < size // 2
+            assert size // 2 <= high < size
+
+
+def test_legacy_2half_bt_loss_matches_reference_loop(rng):
+    feats = _make_feats(rng)
+    for axis in range(3):
+        idx = sample_half_indices(rng, feats.shape[2 + axis])
+        cos, ref, sim, dis = oracle_slices_legacy(feats, idx[0], idx[1], axis)
+        expected = oracle_bt(cos, ref, sim, dis)
+
+        feats_j = jnp.asarray(feats.transpose(0, 2, 3, 4, 1))  # NDHWC
+        slices = gather_partition_slices(feats_j, jnp.asarray(idx), axis)
+        got = bt_ranking_loss(pairwise_channel_cosine(slices), 2, TEMP)
+        np.testing.assert_allclose(float(got), expected, rtol=1e-4)
+
+
+def test_legacy_2half_info_nce_matches_reference_loop(rng):
+    feats = _make_feats(rng)
+    idx = sample_half_indices(rng, feats.shape[2])
+    cos, ref, sim, dis = oracle_slices_legacy(feats, idx[0], idx[1], 0)
+    expected = oracle_info_nce(cos, ref, sim, dis)
+
+    feats_j = jnp.asarray(feats.transpose(0, 2, 3, 4, 1))
+    slices = gather_partition_slices(feats_j, jnp.asarray(idx), 0)
+    got = info_nce_loss(pairwise_channel_cosine(slices), 2, TEMP)
     np.testing.assert_allclose(float(got), expected, rtol=1e-4)
 
 
