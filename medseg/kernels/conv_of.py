@@ -422,6 +422,48 @@ def _zvalid(zblk, zb: int, d: int, c: int, lo: int):
     return jnp.logical_and(zg >= 0, zg < d)
 
 
+def _manual_window(x_hbm, buf, sem, zb: int, nzb: int):
+    """Manual double-buffered halo fetch: returns this step's (ZB+2, C, LO)
+    window rows from a 2-slot VMEM ring, with the NEXT step's window DMA
+    started before waiting on the current one — overlapping the z+1 fetch
+    with the z compute. Mosaic serializes the automatic ``pl.Element`` halo
+    pipeline against compute (measured ~2x: probe_pipeline.py), because the
+    overlapping Element windows alias; the explicit ring restores the
+    overlap. Grid order is (b, z) with z fastest; the prefetch crosses into
+    the next batch element at z == nzb-1."""
+    bb = pl.program_id(0)
+    z = pl.program_id(1)
+    nb = pl.num_programs(0)
+    g = bb * nzb + z  # global step: slots follow g so they stay consistent
+    # across batch boundaries (a z-local slot breaks when nzb is odd, and
+    # double-fetches at z == 0 of every bb > 0)
+
+    def fetch(slot, bsel, zsel):
+        return pltpu.make_async_copy(
+            x_hbm.at[bsel, pl.ds(zsel * zb, zb + 2)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        fetch(0, bb, 0).start()
+
+    nxt = z + 1
+    last = nxt == nzb
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        fetch((g + 1) % 2, bb, nxt).start()
+
+    @pl.when(jnp.logical_and(last, bb + 1 < nb))
+    def _():
+        fetch((g + 1) % 2, bb + 1, 0).start()
+
+    fetch(g % 2, bb, z).wait()
+    return buf[g % 2]
+
+
 def _kernel(
     *refs,
     c: int,
@@ -436,16 +478,22 @@ def _kernel(
     compute_dtype,
     interpret: bool,
     pp: bool = False,
+    manual: bool = False,
 ):
+    scratch = ()
     if residual:
         (xh, a_ref, b_ref, w_ref, wr_ref,
-         o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref) = refs
+         o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref, *scratch) = refs
     else:
-        xh, a_ref, b_ref, w_ref, o_ref, s_ref, ss_ref = refs
+        xh, a_ref, b_ref, w_ref, o_ref, s_ref, ss_ref, *scratch = refs
     zblk = pl.program_id(1)
     lo = h * wp if not pp else h * w
 
-    sel = xh[0].astype(jnp.float32)  # halo window rows (ZB+2, C, LO)
+    if manual:
+        win = _manual_window(xh, scratch[0], scratch[1], zb, d // zb)
+    else:
+        win = xh[0]
+    sel = win.astype(jnp.float32)  # halo window rows (ZB+2, C, LO)
     if input_act == "affine_leaky":
         sel = sel * a_ref[0][None] + b_ref[0][None]
         sel = jnp.where(sel >= 0, sel, LEAKY_SLOPE * sel)
@@ -497,6 +545,14 @@ def _kernel(
         accumulate_stats(res, rs_ref, rss_ref)
 
 
+def _manual_fetch_on() -> bool:
+    """Manual double-buffered halo fetch (see _manual_window).
+    MEDSEG_MANUAL_FETCH=1 enables; default is the automatic Element-halo
+    pipeline until the manual ring is measured faster (probe_pipeline.py).
+    Read at trace time — set it before the first call in a process."""
+    return os.environ.get("MEDSEG_MANUAL_FETCH", "0") == "1"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("h", "w", "input_act", "residual", "out_dtype", "interpret", "pp"),
@@ -541,7 +597,11 @@ def conv3x3x3_of(
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
-    in_specs = [_halo_spec(zb, c, lo), ab_spec, ab_spec,
+    manual = _manual_fetch_on() and not interpret
+    x_spec = (
+        pl.BlockSpec(memory_space=pltpu.ANY) if manual else _halo_spec(zb, c, lo)
+    )
+    in_specs = [x_spec, ab_spec, ab_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
     operands = [x, a, b, wmat]
     out_specs = [out_spec, stat_spec, stat_spec]
@@ -551,6 +611,11 @@ def conv3x3x3_of(
         operands.append(wres)
         out_specs += [out_spec, stat_spec, stat_spec]
         out_shape += [res_shape, stat_shape, stat_shape]
+    scratch_shapes = (
+        [pltpu.VMEM((2, zb + 2, c, lo), x.dtype), pltpu.SemaphoreType.DMA((2,))]
+        if manual
+        else []
+    )
 
     kern = functools.partial(
         _kernel,
@@ -566,6 +631,7 @@ def conv3x3x3_of(
         compute_dtype=compute_dtype,
         interpret=interpret,
         pp=pp,
+        manual=manual,
     )
     return pl.pallas_call(
         kern,
@@ -573,6 +639,7 @@ def conv3x3x3_of(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(*operands)
@@ -582,8 +649,9 @@ def _combine_kernel(
     uph, yh, xh,
     ay_ref, by_ref, ax_ref, bx_ref, w_ref, wr_ref,
     o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref,
-    *, c_half: int, c_out: int, h: int, w: int, wp: int, d: int, zb: int,
-    compute_dtype, interpret: bool, pp: bool = False,
+    *scratch,
+    c_half: int, c_out: int, h: int, w: int, wp: int, d: int, zb: int,
+    compute_dtype, interpret: bool, pp: bool = False, manual: bool = False,
 ):
     """conv3x3x3 over the 2*c_half-channel concat [up ; leaky(ay*y+by+ax*x+bx)]
     with the skip-combine computed on rows in VMEM (kills the standalone
@@ -593,9 +661,17 @@ def _combine_kernel(
     lo = h * wp if not pp else h * w
     c = 2 * c_half
 
-    u_sel = uph[0].astype(jnp.float32)  # halo rows (ZB+2, CH, LO)
-    y_sel = yh[0].astype(jnp.float32)
-    x_sel = xh[0].astype(jnp.float32)  # (ZB+2, 1, LO)
+    if manual:
+        ubuf, usem, ybuf, ysem, xbuf, xsem = scratch
+        nzb = d // zb
+        u_win = _manual_window(uph, ubuf, usem, zb, nzb)
+        y_win = _manual_window(yh, ybuf, ysem, zb, nzb)
+        x_win = _manual_window(xh, xbuf, xsem, zb, nzb)
+    else:
+        u_win, y_win, x_win = uph[0], yh[0], xh[0]
+    u_sel = u_win.astype(jnp.float32)  # halo rows (ZB+2, CH, LO)
+    y_sel = y_win.astype(jnp.float32)
+    x_sel = x_win.astype(jnp.float32)  # (ZB+2, 1, LO)
     comb = (
         y_sel * ay_ref[0][None]
         + by_ref[0][None]
@@ -689,24 +765,39 @@ def conv3x3x3_of_combine(
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
+    manual = _manual_fetch_on() and not interpret
+    halo = (
+        (lambda arr_c: pl.BlockSpec(memory_space=pltpu.ANY))
+        if manual
+        else (lambda arr_c: _halo_spec(zb, arr_c, lo))
+    )
+    scratch_shapes = []
+    if manual:
+        for arr_c in (c_half, c_half, 1):
+            scratch_shapes += [
+                pltpu.VMEM((2, zb + 2, arr_c, lo), up.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+
     kern = functools.partial(
         _combine_kernel,
         c_half=c_half, c_out=c_out, h=h, w=w, wp=wp, d=d, zb=zb,
-        compute_dtype=compute_dtype, interpret=interpret, pp=pp,
+        compute_dtype=compute_dtype, interpret=interpret, pp=pp, manual=manual,
     )
     return pl.pallas_call(
         kern,
         grid=(bsz, nzb),
         in_specs=[
-            _halo_spec(zb, c_half, lo),
-            _halo_spec(zb, c_half, lo),
-            _halo_spec(zb, 1, lo),
+            halo(c_half),
+            halo(c_half),
+            halo(1),
             ab_spec, ab_spec, ab_spec, ab_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec, stat_spec, stat_spec, out_spec, stat_spec, stat_spec),
         out_shape=(res_shape, stat_shape, stat_shape, res_shape, stat_shape, stat_shape),
+        scratch_shapes=scratch_shapes,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(up, y, x1, ay, by, ax, bx, wmat, wres)
