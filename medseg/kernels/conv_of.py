@@ -597,7 +597,7 @@ def conv3x3x3_of(
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
-    manual = _manual_fetch_on() and not interpret
+    manual = _manual_fetch_on()
     x_spec = (
         pl.BlockSpec(memory_space=pltpu.ANY) if manual else _halo_spec(zb, c, lo)
     )
@@ -765,7 +765,7 @@ def conv3x3x3_of_combine(
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
-    manual = _manual_fetch_on() and not interpret
+    manual = _manual_fetch_on()
     halo = (
         (lambda arr_c: pl.BlockSpec(memory_space=pltpu.ANY))
         if manual

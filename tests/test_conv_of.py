@@ -357,3 +357,39 @@ def test_fast_apply_v3_pp_parity(rng, out_form):
         np.testing.assert_allclose(
             np.asarray(g[..., :3], dtype=np.float32), want, rtol=5e-2, atol=5e-2
         )
+
+
+def test_conv_of_manual_fetch_parity(rng, monkeypatch):
+    """MEDSEG_MANUAL_FETCH=1 routes the halo window through the explicit
+    double-buffered DMA ring (conv_of._manual_window); values must be
+    identical to the BlockSpec pipeline. D=6 -> zb=2, nzb=3 (odd) exercises
+    the global-step slot indexing across batch boundaries."""
+    from medseg.kernels import conv_of as co
+
+    monkeypatch.setenv("MEDSEG_MANUAL_FETCH", "1")
+    co.conv3x3x3_of.clear_cache()  # env is read at trace time
+    co.conv3x3x3_of_combine.clear_cache()
+    try:
+        x, k = _mk(rng)
+        k3 = jnp.asarray(rng.normal(size=(1, 1, 1, C, CO)).astype(np.float32))
+        xf = to_output_form(x)
+        dummy = jnp.zeros((B, C, 1), jnp.float32)
+        out, s, ss, res, rs, rss = conv3x3x3_of(
+            xf, weight_matrix(k, jnp.float32), dummy, dummy,
+            res_weight(k3, jnp.float32),
+            h=H, w=W, input_act="none", residual=True,
+            out_dtype=jnp.float32, interpret=True,
+        )
+        ref = _xla_conv(x, k)
+        np.testing.assert_allclose(
+            from_output_form(out, H, W), ref, rtol=1e-5, atol=1e-5
+        )
+        ref_res = jnp.einsum("bdhwc,co->bdhwo", x, k3[0, 0, 0])
+        np.testing.assert_allclose(
+            from_output_form(res, H, W), ref_res, rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(s[..., 0], jnp.sum(ref, axis=(1, 2, 3)), rtol=1e-3)
+    finally:
+        monkeypatch.setenv("MEDSEG_MANUAL_FETCH", "0")
+        co.conv3x3x3_of.clear_cache()
+        co.conv3x3x3_of_combine.clear_cache()
