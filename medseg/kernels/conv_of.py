@@ -430,7 +430,15 @@ def _manual_window(x_hbm, buf, sem, zb: int, nzb: int):
     pipeline against compute (measured ~2x: probe_pipeline.py), because the
     overlapping Element windows alias; the explicit ring restores the
     overlap. Grid order is (b, z) with z fastest; the prefetch crosses into
-    the next batch element at z == nzb-1."""
+    the next batch element at z == nzb-1.
+
+    HEAD REUSE: within a batch element, window z+1's first two halo rows ==
+    window z's last two rows, so the within-batch prefetch DMAs only the ZB
+    new rows into buf[nxt][2:] and the two head rows are copied VMEM-local
+    from the current slot after its wait — eliminating the (ZB+2)/ZB halo
+    overfetch entirely (read traffic 1.25x -> 1.0x at ZB=8). Window z == 0
+    of each batch element is a full ZB+2 fetch; waits pair with the
+    descriptor shape that was started (full at z == 0, tail otherwise)."""
     bb = pl.program_id(0)
     z = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -438,29 +446,49 @@ def _manual_window(x_hbm, buf, sem, zb: int, nzb: int):
     # across batch boundaries (a z-local slot breaks when nzb is odd, and
     # double-fetches at z == 0 of every bb > 0)
 
-    def fetch(slot, bsel, zsel):
+    def full(slot, bsel, zsel):
         return pltpu.make_async_copy(
             x_hbm.at[bsel, pl.ds(zsel * zb, zb + 2)],
             buf.at[slot],
             sem.at[slot],
         )
 
+    def tail(slot, bsel, zsel):
+        return pltpu.make_async_copy(
+            x_hbm.at[bsel, pl.ds(zsel * zb + 2, zb)],
+            buf.at[slot, pl.ds(2, zb)],
+            sem.at[slot],
+        )
+
     @pl.when(g == 0)
     def _():
-        fetch(0, bb, 0).start()
+        full(0, bb, 0).start()
 
     nxt = z + 1
     last = nxt == nzb
 
     @pl.when(jnp.logical_not(last))
     def _():
-        fetch((g + 1) % 2, bb, nxt).start()
+        tail((g + 1) % 2, bb, nxt).start()
 
     @pl.when(jnp.logical_and(last, bb + 1 < nb))
     def _():
-        fetch((g + 1) % 2, bb + 1, 0).start()
+        full((g + 1) % 2, bb + 1, 0).start()
 
-    fetch(g % 2, bb, z).wait()
+    @pl.when(z == 0)
+    def _():
+        full(g % 2, bb, z).wait()
+
+    @pl.when(z != 0)
+    def _():
+        tail(g % 2, bb, z).wait()
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        # head rows for the next window: VMEM-local copy of this window's
+        # last two rows (disjoint from the in-flight tail DMA into [2:])
+        buf[(g + 1) % 2, 0:2] = buf[g % 2, zb : zb + 2]
+
     return buf[g % 2]
 
 
