@@ -831,8 +831,43 @@ def conv3x3x3_of_combine(
     )(up, y, x1, ay, by, ax, bx, wmat, wres)
 
 
+def _manual_rows(x_hbm, buf, sem, zb: int, nzb: int):
+    """Aligned no-halo variant of ``_manual_window``: zb-row windows at
+    padded offset DPAD + z*zb, double-buffered with the next window's DMA
+    started before this one's wait. No head reuse (windows are disjoint)."""
+    bb = pl.program_id(0)
+    z = pl.program_id(1)
+    nb = pl.num_programs(0)
+    g = bb * nzb + z
+
+    def fetch(slot, bsel, zsel):
+        return pltpu.make_async_copy(
+            x_hbm.at[bsel, pl.ds(DPAD + zsel * zb, zb)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        fetch(0, bb, 0).start()
+
+    nxt = z + 1
+    last = nxt == nzb
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        fetch((g + 1) % 2, bb, nxt).start()
+
+    @pl.when(jnp.logical_and(last, bb + 1 < nb))
+    def _():
+        fetch((g + 1) % 2, bb + 1, 0).start()
+
+    fetch(g % 2, bb, z).wait()
+    return buf[g % 2]
+
+
 def _outhead_kernel(
-    *refs, zb: int, scaled: bool, compute_dtype,
+    *refs, zb: int, nzb: int, scaled: bool, compute_dtype, manual: bool = False,
 ):
     """Final residual-block combine + LeakyReLU + 1x1x1 out head, one pass:
     logits = (K @ leaky(az*z + bz + ar*res + br) + bias) [* scale], written
@@ -843,13 +878,25 @@ def _outhead_kernel(
     multiply pass). Multi-z blocked (no halos for a 1x1x1 head)."""
     if scaled:
         (z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, bias_ref,
-         sc_ref, o_ref) = refs
+         sc_ref, o_ref, *scratch) = refs
     else:
-        z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, bias_ref, o_ref = refs
+        (z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, bias_ref,
+         o_ref, *scratch) = refs
+    if manual:
+        z_win = _manual_rows(z_ref, scratch[0], scratch[1], zb, nzb)
+        r_win = _manual_rows(r_ref, scratch[2], scratch[3], zb, nzb)
+        sc_win = (
+            _manual_rows(sc_ref, scratch[4], scratch[5], zb, nzb)
+            if scaled
+            else None
+        )
+    else:
+        z_win, r_win = z_ref[0], r_ref[0]
+        sc_win = sc_ref[0] if scaled else None
     comb = (
-        z_ref[0].astype(jnp.float32) * az_ref[0][None]
+        z_win.astype(jnp.float32) * az_ref[0][None]
         + bz_ref[0][None]
-        + r_ref[0].astype(jnp.float32) * ar_ref[0][None]
+        + r_win.astype(jnp.float32) * ar_ref[0][None]
         + br_ref[0][None]
     )  # (ZB, C, LO)
     comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb).astype(compute_dtype)
@@ -860,7 +907,7 @@ def _outhead_kernel(
     ]
     out = jnp.stack(outs)
     if scaled:
-        out = out * sc_ref[0].astype(jnp.float32)  # (ZB, 1, LO) broadcast
+        out = out * sc_win.astype(jnp.float32)  # (ZB, 1, LO) broadcast
     o_ref[...] = out[None].astype(o_ref.dtype)
 
 
@@ -888,11 +935,15 @@ def outhead_of(
     co = kout.shape[0]
     zb = _zb_for(d, c)
     nzb = d // zb
+    manual = _manual_fetch_on()
     # no z-halo here (1x1x1 head): aligned ZB windows at data offset ZB*zz
-    row = lambda arr_c: pl.BlockSpec(
-        (pl.Element(1), pl.Element(zb), pl.Element(arr_c), pl.Element(lo)),
-        lambda bb, zz: (bb, DPAD + zz * zb, 0, 0),
-    )
+    if manual:
+        row = lambda arr_c: pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        row = lambda arr_c: pl.BlockSpec(
+            (pl.Element(1), pl.Element(zb), pl.Element(arr_c), pl.Element(lo)),
+            lambda bb, zz: (bb, DPAD + zz * zb, 0, 0),
+        )
     ab_spec = pl.BlockSpec((1, c, 1), lambda bb, zz: (bb, 0, 0))
     in_specs = [
         row(c), row(c), ab_spec, ab_spec, ab_spec, ab_spec,
@@ -900,18 +951,28 @@ def outhead_of(
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     operands = [z, res, az, bz, ar, br, kout, bias]
+    stream_cs = [c, c]
     if scale is not None:
         in_specs.append(row(1))
         operands.append(scale)
+        stream_cs.append(1)
+    scratch_shapes = []
+    if manual:
+        for arr_c, op in zip(stream_cs, (z, res, scale)):
+            scratch_shapes += [
+                pltpu.VMEM((2, zb, arr_c, lo), op.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
     return pl.pallas_call(
         functools.partial(
-            _outhead_kernel, zb=zb, scaled=scale is not None,
-            compute_dtype=kout.dtype,
+            _outhead_kernel, zb=zb, nzb=nzb, scaled=scale is not None,
+            compute_dtype=kout.dtype, manual=manual,
         ),
         grid=(bsz, nzb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, zb, co, lo), lambda bb, zz: (bb, zz, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, d, co, lo), out_dtype),
+        scratch_shapes=scratch_shapes,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(*operands)
