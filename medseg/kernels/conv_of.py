@@ -492,6 +492,96 @@ def _manual_window(x_hbm, buf, sem, zb: int, nzb: int):
     return buf[g % 2]
 
 
+def _manual_window_m(m_hbm, buf, sem, zb: int, nzb: int, s: int, zd: int):
+    """Ring fetch of the transpose-conv MATMUL output ``m`` (B, 8CO, S, SEG)
+    for the combine kernel's ``up`` stream (see ``convt_matmul_pp``): per
+    grid step one (8CO, ZD, SEG) block covering the d-rows feeding this
+    window's z-rows, clamped to [0, S-ZD]. Same global-step slot scheme as
+    ``_manual_window``."""
+    bb = pl.program_id(0)
+    z = pl.program_id(1)
+    nb = pl.num_programs(0)
+    g = bb * nzb + z
+
+    def d0f(zsel):
+        return jnp.clip(zb * zsel // 2 - 1, 0, s - zd)
+
+    def fetch(slot, bsel, zsel):
+        return pltpu.make_async_copy(
+            m_hbm.at[bsel, :, pl.ds(d0f(zsel), zd)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        fetch(0, bb, 0).start()
+
+    nxt = z + 1
+    last = nxt == nzb
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        fetch((g + 1) % 2, bb, nxt).start()
+
+    @pl.when(jnp.logical_and(last, bb + 1 < nb))
+    def _():
+        fetch((g + 1) % 2, bb + 1, 0).start()
+
+    fetch(g % 2, bb, z).wait()
+    return buf[g % 2], d0f(z)
+
+
+def _up_rows_from_m(mblk, d0f, zblk, zb: int, s: int, zd: int, ch: int,
+                    seg: int):
+    """Rearrange an m-block (8*CH, ZD, SEG) into the up halo window rows
+    (ZB+2, CH, 4*SEG) for this grid step.
+
+    Window row r holds output z = zb*zblk + r - 1 = 2d + i. With zb even,
+    the parity i_r = (r+1) % 2 and the within-block d-offset are STATIC per
+    r up to one dynamic scalar shift (the edge clamp of the fetch window) —
+    so every extract is a static-sublane slice with one dynamic d index.
+    Out-of-range rows (z < 0, z >= 2S) read clamped garbage that the
+    caller's ``_zvalid`` mask zeroes."""
+    shift = zb * zblk // 2 - d0f  # 0 at zblk==0, 1 interior, >=1 at the top
+    rows = []
+    for r in range(zb + 2):
+        i_r = (r + 1) % 2
+        static_d = (r - 1) // 2 if r >= 1 else -1
+        dl = jnp.clip(static_d + shift, 0, zd - 1)
+        planes = [
+            mblk[(i_r * 4 + jl) * ch : (i_r * 4 + jl + 1) * ch, dl]
+            for jl in range(4)
+        ]  # 4 x (CH, SEG)
+        rows.append(jnp.concatenate(planes, axis=-1))
+    return jnp.stack(rows)  # (ZB+2, CH, 4*SEG)
+
+
+def convt_matmul_pp(
+    t_of: jax.Array,  # (B, S + 2*DPAD, C_in, S*S) low-res COMPACT of-form
+    convt_params: dict,  # {"kernel": (2,2,2,CO,CI), "bias": (CO,)}
+    dtype,
+) -> jax.Array:
+    """The matmul half of ``convt_expand_pp`` WITHOUT the plane transpose:
+    returns m (B, 8*CO, S, SEG) where row (i*4 + 2j + l)*CO + co at (d, hw)
+    is the (i, j, l) filter tap of input slice d — i.e. output voxel
+    z = 2d+i, plane (j, l), channel co. The combine kernel consumes this
+    directly (``_up_rows_from_m``), skipping the 2x volume-bytes
+    materialization+transpose pass of the up tensor entirely."""
+    b, sp, ci, seg = t_of.shape
+    s = sp - 2 * DPAD
+    t_of = t_of[:, DPAD : DPAD + s]
+    kern = convt_params["kernel"]  # (2, 2, 2, CO, CI) torch orientation
+    bias = convt_params["bias"]
+    co = kern.shape[3]
+    k8 = kern.reshape(8 * co, ci).astype(t_of.dtype)
+    b8 = jnp.tile(bias.astype(jnp.float32), 8)  # co fastest, like k8's rows
+    m = jnp.einsum(
+        "tc,bdcl->btdl", k8, t_of, preferred_element_type=jnp.float32
+    )
+    return (m + b8[None, :, None, None]).astype(dtype)
+
+
 def _kernel(
     *refs,
     c: int,
@@ -680,11 +770,16 @@ def _combine_kernel(
     *scratch,
     c_half: int, c_out: int, h: int, w: int, wp: int, d: int, zb: int,
     compute_dtype, interpret: bool, pp: bool = False, manual: bool = False,
+    up_m: bool = False,
 ):
     """conv3x3x3 over the 2*c_half-channel concat [up ; leaky(ay*y+by+ax*x+bx)]
     with the skip-combine computed on rows in VMEM (kills the standalone
     enc1-combine + concat HBM passes of the v2 serving path). Residual 1x1
-    tap + two-phase-norm statistics as in ``_kernel``; multi-z blocked."""
+    tap + two-phase-norm statistics as in ``_kernel``; multi-z blocked.
+
+    ``up_m``: the up stream is the raw transpose-conv matmul output m
+    (B, 8*CH, S, SEG) instead of the materialized of-form tensor — the
+    plane rearrange happens here on VMEM rows (``_up_rows_from_m``)."""
     zblk = pl.program_id(1)
     lo = h * wp if not pp else h * w
     c = 2 * c_half
@@ -692,7 +787,15 @@ def _combine_kernel(
     if manual:
         ubuf, usem, ybuf, ysem, xbuf, xsem = scratch
         nzb = d // zb
-        u_win = _manual_window(uph, ubuf, usem, zb, nzb)
+        if up_m:
+            s_half = d // 2
+            zd = zb // 2 + 2
+            mblk, d0f = _manual_window_m(uph, ubuf, usem, zb, nzb, s_half, zd)
+            u_win = _up_rows_from_m(
+                mblk, d0f, zblk, zb, s_half, zd, c_half, lo // 4
+            )
+        else:
+            u_win = _manual_window(uph, ubuf, usem, zb, nzb)
         y_win = _manual_window(yh, ybuf, ysem, zb, nzb)
         x_win = _manual_window(xh, xbuf, xsem, zb, nzb)
     else:
@@ -753,10 +856,12 @@ def _combine_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "out_dtype", "interpret", "pp")
+    jax.jit, static_argnames=("h", "w", "out_dtype", "interpret", "pp", "up_m")
 )
 def conv3x3x3_of_combine(
-    up: jax.Array,  # (B, D, C_half, LO) raw transpose-conv output rows
+    up: jax.Array,  # (B, D, C_half, LO) raw transpose-conv output rows; or
+    # the raw matmul form (B, 8*C_half, D/2, LO/4) from convt_matmul_pp
+    # when ``up_m`` (pp + manual fetch only)
     y: jax.Array,  # (B, D, C_half, LO) previous conv output (pre-norm)
     x1: jax.Array,  # (B, D, 1, LO) single-channel block input (enc1 residual)
     ay: jax.Array,  # (B, C_half, 1) instance-norm affine for y
@@ -771,12 +876,13 @@ def conv3x3x3_of_combine(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     pp: bool = False,
+    up_m: bool = False,
 ):
     """Fused UnetrUpBlock entry conv for the full-res decoder stage: builds
     the [up ; enc1-combined] 2*C_half-channel input inline from the up /
     y / x row streams and runs the 3x3x3 conv + residual tap + stats.
     Returns (out, s, ss, res, rs, rss)."""
-    bsz, dp, c_half, lo = up.shape
+    bsz, dp, c_half, lo = y.shape
     d = dp - 2 * DPAD
     wp = w if lo == h * w else _wp(w)  # compact vs padded lane convention
     assert lo == h * wp, (lo, h, w, wp)
@@ -787,13 +893,17 @@ def conv3x3x3_of_combine(
     if _pair_ok(zb, 2 * c_half):
         wmat = weight_matrix_pair(wmat)
 
+    manual = _manual_fetch_on()
+    if up_m:
+        assert pp and manual and zb % 2 == 0, (pp, manual, zb)
+        assert up.shape == (bsz, 8 * c_half, d // 2, lo // 4), up.shape
+
     ab_spec = pl.BlockSpec((1, c_half, 1), lambda bb, z: (bb, 0, 0))
     stat_spec = pl.BlockSpec((1, c_out, LANE), lambda bb, z: (bb, 0, 0))
     out_spec = _padded_out_spec(zb, c_out, lo)
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
-    manual = _manual_fetch_on()
     halo = (
         (lambda arr_c: pl.BlockSpec(memory_space=pltpu.ANY))
         if manual
@@ -801,9 +911,19 @@ def conv3x3x3_of_combine(
     )
     scratch_shapes = []
     if manual:
-        for arr_c in (c_half, c_half, 1):
+        if up_m:
             scratch_shapes += [
-                pltpu.VMEM((2, zb + 2, arr_c, lo), up.dtype),
+                pltpu.VMEM((2, 8 * c_half, zb // 2 + 2, lo // 4), up.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            scratch_shapes += [
+                pltpu.VMEM((2, zb + 2, c_half, lo), up.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        for arr_c in (c_half, 1):
+            scratch_shapes += [
+                pltpu.VMEM((2, zb + 2, arr_c, lo), y.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
 
@@ -811,6 +931,7 @@ def conv3x3x3_of_combine(
         _combine_kernel,
         c_half=c_half, c_out=c_out, h=h, w=w, wp=wp, d=d, zb=zb,
         compute_dtype=compute_dtype, interpret=interpret, pp=pp, manual=manual,
+        up_m=up_m,
     )
     return pl.pallas_call(
         kern,

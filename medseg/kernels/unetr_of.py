@@ -448,8 +448,28 @@ def fast_apply_v3(
     ax = a3 * k3[0][None, :, None]  # fold the 1x1 weights into the affine
 
     # decoder2: transpose conv straight to output-form, then the fused
-    # combine+concat+conv kernel, then conv2, then the out-head kernel
-    if pp:
+    # combine+concat+conv kernel, then conv2, then the out-head kernel.
+    # With the manual DMA ring + pp, the combine kernel can consume the raw
+    # transpose-conv MATMUL output directly (up_m) — the plane rearrange
+    # happens on VMEM rows, skipping the 2x volume-bytes materialization+
+    # transpose of the up tensor (convt_expand_pp's only real copy).
+    import os as _os
+
+    from medseg.kernels.conv_of import (
+        _manual_fetch_on,
+        _zb_for,
+        convt_matmul_pp,
+    )
+
+    up_direct = (
+        pp
+        and _manual_fetch_on()
+        and _os.environ.get("MEDSEG_UP_DIRECT", "1") == "1"
+        and _zb_for(d, 2 * fs) % 2 == 0
+    )
+    if up_direct:
+        up_of = convt_matmul_pp(dec1, p["decoder2"]["transp_conv"]["convt"], dtype)
+    elif pp:
         up_of = convt_expand_pp(dec1, p["decoder2"]["transp_conv"]["convt"], dtype)
     else:
         up_of = convt_expand_of(dec1, p["decoder2"]["transp_conv"]["convt"], dtype)
@@ -458,7 +478,7 @@ def fast_apply_v3(
         up_of, y2, x_of, a2, b2, ax, b3,
         weight_matrix(d2["conv1"]["conv"]["kernel"], dtype),
         res_weight(d2["conv3"]["conv"]["kernel"], dtype),
-        h=h, w=w, out_dtype=dtype, interpret=interpret, pp=pp,
+        h=h, w=w, out_dtype=dtype, interpret=interpret, pp=pp, up_m=up_direct,
     )
     za1, zb1 = _affine(zs1[..., 0], zss1[..., 0], d2["norm1"], n_valid)
     z2, zs2, zss2 = conv3x3x3_of(
