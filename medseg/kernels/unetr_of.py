@@ -26,6 +26,8 @@ Parity-tested against the flax forward in tests/test_conv_of.py.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -453,8 +455,6 @@ def fast_apply_v3(
     # transpose-conv MATMUL output directly (up_m) — the plane rearrange
     # happens on VMEM rows, skipping the 2x volume-bytes materialization+
     # transpose of the up tensor (convt_expand_pp's only real copy).
-    import os as _os
-
     from medseg.kernels.conv_of import (
         _manual_fetch_on,
         _zb_for,
@@ -464,7 +464,7 @@ def fast_apply_v3(
     up_direct = (
         pp
         and _manual_fetch_on()
-        and _os.environ.get("MEDSEG_UP_DIRECT", "1") == "1"
+        and os.environ.get("MEDSEG_UP_DIRECT", "1") == "1"
         and _zb_for(d, 2 * fs) % 2 == 0
     )
     if up_direct:
