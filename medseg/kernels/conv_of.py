@@ -119,7 +119,11 @@ def _zb_for(d: int, c_in: int) -> int:
     bigger blocks win for the thin-C convs (standalone zb sweep at 8x96^3
     C16: 4/8/12/16 -> 2.82/2.53/4.06/2.35 ms; model-level full-res chain:
     limit 4/8/16 -> 19.2/18.6/19.1 ms, so 8); C>16 keeps zb=2 for VMEM."""
-    limit = int(os.environ.get("MEDSEG_ZB16", "8")) if c_in <= 16 else 2
+    limit = (
+        int(os.environ.get("MEDSEG_ZB16", "8"))
+        if c_in <= 16
+        else int(os.environ.get("MEDSEG_ZB32", "2"))  # C>16: VMEM-bounded
+    )
     for z in (limit, 8, 4, 2):
         if z <= limit and d % z == 0:
             return z
