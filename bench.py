@@ -188,6 +188,14 @@ def main() -> None:
             "volumes_per_sec": round(vols_per_sec, 4),
             "windows_per_sec": round(windows_per_sec, 1),
             "pipeline": f"BENCH_FAST={fast}",
+            "kernel_env": {
+                k: os.environ[k]
+                for k in (
+                    "MEDSEG_MANUAL_FETCH", "MEDSEG_UP_DIRECT",
+                    "MEDSEG_ZB16", "MEDSEG_ZB32", "BENCH_SWB",
+                )
+                if k in os.environ
+            },
         }
     }
     if os.environ.get("BENCH_ONLY", "") != "4":
