@@ -767,6 +767,143 @@ def conv3x3x3_of(
     )(*operands)
 
 
+def _cat2_kernel(
+    xa, xb, w_ref, wr_ref,
+    o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref,
+    *scratch,
+    c_half: int, c_out: int, h: int, w: int, wp: int, d: int, zb: int,
+    compute_dtype, interpret: bool, manual: bool = False,
+):
+    """conv3x3x3 + residual tap over the channel-concat [xa ; xb] of two
+    equal-width of-form streams, concatenated on rows in VMEM — removes the
+    standalone HBM concat pass of the mid-resolution ``up_block_of`` entry
+    conv (compact lane convention; input_act none)."""
+    zblk = pl.program_id(1)
+    lo = h * wp
+    c = 2 * c_half
+
+    if manual:
+        abuf, asem, bbuf, bsem = scratch
+        nzb = d // zb
+        a_win = _manual_window(xa, abuf, asem, zb, nzb)
+        b_win = _manual_window(xb, bbuf, bsem, zb, nzb)
+    else:
+        a_win, b_win = xa[0], xb[0]
+    sel = jnp.concatenate(
+        [a_win.astype(jnp.float32), b_win.astype(jnp.float32)], axis=1
+    )  # (ZB+2, C, LO)
+    if wp == w:  # compact: every lane is a real voxel
+        sel = jnp.where(_zvalid(zblk, zb, d, c, lo), sel, 0.0)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c, lo), 2)
+        lane_valid = ((lane % wp) >= 1) & ((lane % wp) < w + 1)
+        sel = jnp.where(
+            jnp.logical_and(lane_valid, _zvalid(zblk, zb, d, c, lo)), sel, 0.0
+        )
+    if compute_dtype == jnp.bfloat16 and c % 2 == 0:
+        sel = sel.astype(compute_dtype)
+
+    out, acc, center = _conv_core(
+        sel, w_ref, c, c_out, zb, lo, wp, w, compute_dtype, interpret
+    )
+    o_ref[...] = out.astype(o_ref.dtype)[None]
+
+    def accumulate_stats(vals, sref, ssref):
+        s = jnp.broadcast_to(jnp.sum(vals, axis=1, keepdims=True), (c_out, LANE))
+        ss = jnp.broadcast_to(
+            jnp.sum(vals * vals, axis=1, keepdims=True), (c_out, LANE)
+        )
+
+        @pl.when(zblk == 0)
+        def _():
+            sref[...] = s[None]
+            ssref[...] = ss[None]
+
+        @pl.when(zblk != 0)
+        def _():
+            sref[...] += s[None]
+            ssref[...] += ss[None]
+
+    accumulate_stats(acc, s_ref, ss_ref)
+
+    res = jnp.dot(wr_ref[...], center, preferred_element_type=jnp.float32)
+    if wp != w:
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, zb * lo), 1)
+        out_valid = ((out_lane % wp) >= 1) & ((out_lane % wp) < w + 1)
+        res = jnp.where(out_valid, res, 0.0)
+    r_ref[...] = _stack_z(res, c_out, zb, lo).astype(r_ref.dtype)[None]
+    accumulate_stats(res, rs_ref, rss_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "out_dtype", "interpret")
+)
+def conv3x3x3_of_cat2(
+    xa: jax.Array,  # (B, D, C_half, LO) of-form stream A (e.g. upsample)
+    xb: jax.Array,  # (B, D, C_half, LO) of-form stream B (e.g. skip)
+    wmat: jax.Array,  # (3*CO, 9*2*C_half)
+    wres: jax.Array,  # (CO, 2*C_half)
+    *,
+    h: int,
+    w: int,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused entry conv for ``up_block_of``: conv3x3x3 + residual 1x1 tap +
+    stats over the in-VMEM channel concat of two of-form streams.
+    Returns (out, s, ss, res, rs, rss) like ``conv3x3x3_of(residual=True)``."""
+    bsz, dp, c_half, lo = xa.shape
+    assert xb.shape == xa.shape, (xa.shape, xb.shape)
+    d = dp - 2 * DPAD
+    wp = w if lo == h * w else _wp(w)
+    assert lo == h * wp, (lo, h, w, wp)
+    c_out = wmat.shape[0] // 3
+    compute_dtype = wmat.dtype
+    zb = _zb_for(d, 2 * c_half)
+    nzb = d // zb
+    if _pair_ok(zb, 2 * c_half):
+        wmat = weight_matrix_pair(wmat)
+
+    stat_spec = pl.BlockSpec((1, c_out, LANE), lambda bb, z: (bb, 0, 0))
+    out_spec = _padded_out_spec(zb, c_out, lo)
+    stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
+    res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
+
+    manual = _manual_fetch_on()
+    x_spec = (
+        pl.BlockSpec(memory_space=pltpu.ANY)
+        if manual
+        else _halo_spec(zb, c_half, lo)
+    )
+    scratch_shapes = []
+    if manual:
+        for op in (xa, xb):
+            scratch_shapes += [
+                pltpu.VMEM((2, zb + 2, c_half, lo), op.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+
+    kern = functools.partial(
+        _cat2_kernel,
+        c_half=c_half, c_out=c_out, h=h, w=w, wp=wp, d=d, zb=zb,
+        compute_dtype=compute_dtype, interpret=interpret, manual=manual,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, nzb),
+        in_specs=[
+            x_spec, x_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, stat_spec, stat_spec, out_spec, stat_spec, stat_spec),
+        out_shape=(res_shape, stat_shape, stat_shape, res_shape, stat_shape, stat_shape),
+        scratch_shapes=scratch_shapes,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(xa, xb, wmat, wres)
+
+
 def _combine_kernel(
     uph, yh, xh,
     ay_ref, by_ref, ax_ref, bx_ref, w_ref, wr_ref,

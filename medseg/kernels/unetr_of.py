@@ -122,32 +122,28 @@ def up_block_of(
     interpret: bool = False,
     return_of: bool = False,  # return the COMPACT of-form (B, D, C, H*W)
 ):
-    """UnetrUpBlock via conv_of: ConvTranspose (XLA) -> concat -> fused
-    res block (conv1+residual tap, conv2, two-phase norms) -> NDHWC out.
+    """UnetrUpBlock via conv_of: ConvTranspose (einsum straight to
+    output-form, no NDHWC materialization) -> fused res block whose entry
+    conv concatenates [up ; skip] on VMEM rows (conv3x3x3_of_cat2 — no
+    standalone HBM concat pass) -> two-phase norms -> NDHWC out.
 
     Used for the mid-resolution decoder stages (48^3 at crop 96) where the
     flat-lane kernel still beats XLA despite partial lane occupancy
     (docs/PERF_NOTES.md routing table: 48^3 64->32 is 3.9x)."""
-    up = _apply_sub(
-        ConvTranspose3d(features, dtype=dtype),
-        {"convt": params["transp_conv"]["convt"]},
-        x,
-    )
-    b, d, h, w, _ = up.shape
+    from medseg.kernels.conv_of import conv3x3x3_of_cat2
+
+    up_of = convt_expand_of(x, params["transp_conv"]["convt"], dtype)
+    b = x.shape[0]
+    d, h, w = (2 * s for s in x.shape[1:4])
     n_valid = d * h * w
     mask = jnp.asarray(_lane_mask(h, w))[None, None, None, :]
-    cat = jnp.concatenate(
-        [to_output_form(up, dtype), to_output_form(skip.astype(dtype), dtype)],
-        axis=2,
-    )
     blk = params["conv_block"]
-    z1, s1, ss1, res, rs, rss = conv3x3x3_of(
-        cat,
+    z1, s1, ss1, res, rs, rss = conv3x3x3_of_cat2(
+        up_of,
+        to_output_form(skip.astype(dtype), dtype),
         weight_matrix(blk["conv1"]["conv"]["kernel"], dtype),
-        None, None,
         res_weight(blk["conv3"]["conv"]["kernel"], dtype),
-        h=h, w=w, input_act="none", residual=True,
-        out_dtype=dtype, interpret=interpret,
+        h=h, w=w, out_dtype=dtype, interpret=interpret,
     )
     a1, b1 = _affine(s1[..., 0], ss1[..., 0], blk["norm1"], n_valid)
     z2, s2, ss2 = conv3x3x3_of(
