@@ -322,6 +322,9 @@ def _xla_stages(model: UNETR, p: dict, x: jax.Array):
         patch_size=model.patch_size,
         dropout_rate=model.dropout_rate,
         dtype=model.dtype,
+        # serving knob: tanh-approx GELU (|diff| ~3e-3, inside the bf16
+        # serving-noise budget) — opt-in, measured before adoption
+        gelu_approx=os.environ.get("MEDSEG_FAST_GELU", "0") == "1",
     )
     tokens, hidden = _apply_sub(vit, p["vit"], x)
     fd = d // model.patch_size
