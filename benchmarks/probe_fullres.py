@@ -95,8 +95,8 @@ def main():
     bench("outhead", lambda: outhead_of(
         y, y, a16, b16, a16, b16, ko, bo, out_dtype=jnp.float32))
     logits_of = outhead_of(y, y, a16, b16, a16, b16, ko, bo, out_dtype=jnp.float32)
-    bench("from_output_form (fp32 out)", jax.jit(
-        lambda o: from_output_form(o, S, S)), logits_of)
+    bench("from_output_form (fp32 out)", jax.jit(  # outhead out is unpadded
+        lambda o: from_output_form(o, S, S, dpad=0)), logits_of)
 
 
 if __name__ == "__main__":

@@ -137,7 +137,8 @@ def main():
         bias = jnp.zeros((co_pad, 1), jnp.float32).at[:n_classes, 0].set(pp["out"]["conv"]["bias"].astype(jnp.float32))
         logits_of = outhead_of(z2, res, za2, zb2, za3, zb3, k_out, bias, out_dtype=jnp.float32)
         from medseg.kernels.conv_of import from_output_form
-        return from_output_form(logits_of, h_, w_)[..., :n_classes]
+        # outhead_of returns UNPADDED z (no DPAD guard rows)
+        return from_output_form(logits_of, h_, w_, dpad=0)[..., :n_classes]
 
     t_fr = chain_bench("fused full-res chain v3", fullres_v3, x, p, dec1)
     acc = t_vit + t_e2 + t_e3 + t_e4 + t_d5 + t_d4 + t_d3 + t_fr

@@ -92,7 +92,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
-    from medseg.parallel.runtime import process_info, shard_datalist
+    from medseg.parallel.runtime import barrier, process_info, shard_datalist
 
     rank, world = process_info()
     out_dir = make_output_dir(args.root_dir, args.pretrained, args.dataset_name, fold_idx)
@@ -257,7 +257,13 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
                 args.eval_num,
             )
 
-    # final evaluation with all metrics (seg :623-648)
+    # final evaluation with all metrics (seg :623-648). Rank 0 finalizes any
+    # in-flight async best-save, then all hosts synchronize before touching
+    # the shared-FS checkpoint — otherwise ranks can restore divergent params
+    # and the SPMD eval program runs with different weights per host.
+    if rank == 0:
+        ckpt.wait()
+    barrier("final_checkpoint_committed")
     if ckpt.exists():
         state = ckpt.restore(state)
     result = validator(state.params, validate_volumes(val_loader)(), all_metrics=True)

@@ -63,7 +63,11 @@ class CheckpointManager:
         }
         self._ckpt.wait_until_finished()  # finalize any in-flight save
         self._ckpt.save(path, tree, force=True)
-        if block:
+        if block or name == "best":
+            # Best saves commit before the meta.json sidecar is written, so a
+            # crash mid-commit can never leave metadata pointing at a newer
+            # best than the checkpoint on disk. Best saves are rare (on Dice
+            # improvement); only scheduled "latest" saves stay fully async.
             self._ckpt.wait_until_finished()
         if name == "best":  # sidecar metadata tracks the best checkpoint only
             meta = {"step": int(state.step)}

@@ -154,7 +154,6 @@ class Validator:
         out_layout = self._out_layout
         apply_fn = self._apply_fn
         if out_layout == "ppk":
-            from medseg.ops.sliding_window import ppk_supported
             from medseg.ops.swi_zrow import sliding_window_inference_zrow, zrow_supported
 
             spatial = tuple(int(v) for v in image.shape[-4:-1])
@@ -165,9 +164,11 @@ class Validator:
                     params, image, apply_fn, self.n_classes, spec,
                     acc_dtype=self._acc_dtype,
                 )
-            if not ppk_supported(spatial, spec):
-                out_layout = "flatk"  # parity not preserved for this grid
-                apply_fn = self._apply_fn_flat
+            # zrow_supported IS the ppk-geometry predicate (one routing
+            # function by design), so there is no ppk-scatter fallback:
+            # unsupported grids drop to the flat window form.
+            out_layout = "flatk"
+            apply_fn = self._apply_fn_flat
         return sliding_window_inference(
             params, image, apply_fn, self.n_classes, spec,
             out_layout=out_layout,

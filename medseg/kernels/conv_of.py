@@ -502,6 +502,11 @@ def _manual_window_m(m_hbm, buf, sem, zb: int, nzb: int, s: int, zd: int):
     grid step one (8CO, ZD, SEG) block covering the d-rows feeding this
     window's z-rows, clamped to [0, S-ZD]. Same global-step slot scheme as
     ``_manual_window``."""
+    if s < zd:  # trace-time shapes: clip(min > max) would yield a NEGATIVE
+        raise ValueError(  # DMA start — callers must gate on d >= zb + 4
+            f"_manual_window_m needs S >= ZD ({s} < {zd}); "
+            "disable up_m for this depth"
+        )
     bb = pl.program_id(0)
     z = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -721,7 +726,7 @@ def conv3x3x3_of(
 
     manual = _manual_fetch_on()
     x_spec = (
-        pl.BlockSpec(memory_space=pltpu.ANY) if manual else _halo_spec(zb, c, lo)
+        pl.BlockSpec(memory_space=pl.ANY) if manual else _halo_spec(zb, c, lo)
     )
     in_specs = [x_spec, ab_spec, ab_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -871,7 +876,7 @@ def conv3x3x3_of_cat2(
 
     manual = _manual_fetch_on()
     x_spec = (
-        pl.BlockSpec(memory_space=pltpu.ANY)
+        pl.BlockSpec(memory_space=pl.ANY)
         if manual
         else _halo_spec(zb, c_half, lo)
     )
@@ -1046,7 +1051,7 @@ def conv3x3x3_of_combine(
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
     halo = (
-        (lambda arr_c: pl.BlockSpec(memory_space=pltpu.ANY))
+        (lambda arr_c: pl.BlockSpec(memory_space=pl.ANY))
         if manual
         else (lambda arr_c: _halo_spec(zb, arr_c, lo))
     )
@@ -1200,7 +1205,7 @@ def outhead_of(
     manual = _manual_fetch_on()
     # no z-halo here (1x1x1 head): aligned ZB windows at data offset ZB*zz
     if manual:
-        row = lambda arr_c: pl.BlockSpec(memory_space=pltpu.ANY)
+        row = lambda arr_c: pl.BlockSpec(memory_space=pl.ANY)
     else:
         row = lambda arr_c: pl.BlockSpec(
             (pl.Element(1), pl.Element(zb), pl.Element(arr_c), pl.Element(lo)),

@@ -63,9 +63,12 @@ def ndhwc_to_pp_windows(out: jax.Array) -> jax.Array:
     """NDHWC logits (B, D, H, W, K) -> the ppk window form
     (B, D, 4, H/2, (W/2)*K16) emitted by ``fast_apply_v3(pp=True,
     flat_k16=True)``: plane index 2j+l for voxel (y, x) = (2hh+j, 2ww+l),
-    classes padded to K16 = max(8, ceil(K/8)*8)."""
+    classes padded to K16 (``sliding_window._flatk_pad`` — the accumulator
+    layout contract; reused so the two can never desynchronize)."""
+    from medseg.ops.sliding_window import _flatk_pad
+
     b, d, h, w, k = out.shape
-    k16 = max(8, -(-k // 8) * 8)
+    k16 = _flatk_pad(k)
     if k != k16:
         out = jnp.pad(out, [(0, 0)] * 4 + [(0, k16 - k)])
     out = out.reshape(b, d, h // 2, 2, w // 2, 2, k16)
@@ -465,6 +468,9 @@ def fast_apply_v3(
         and _manual_fetch_on()
         and os.environ.get("MEDSEG_UP_DIRECT", "1") == "1"
         and _zb_for(d, 2 * fs) % 2 == 0
+        # the m-ring fetches ZD = zb//2 + 2 d-rows per step; small depths
+        # (d < zb + 4) can't supply a full window (_manual_window_m raises)
+        and d >= _zb_for(d, 2 * fs) + 4
     )
     if up_direct:
         up_of = convt_matmul_pp(dec1, p["decoder2"]["transp_conv"]["convt"], dtype)

@@ -59,18 +59,25 @@ def _is_axis_aligned(matrix: np.ndarray, tol: float = 1e-9) -> bool:
     return bool(np.abs(off).max() <= tol)
 
 
+def _apply_window(out, window):
+    """Fused ScaleIntensityRanged epilogue (one definition — the identity,
+    separable and gather resample paths must window identically)."""
+    if window is None:
+        return out
+    a_min, a_max, b_min, b_max, clip = window
+    out = (out - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
+    if clip:
+        out = jnp.clip(out, min(b_min, b_max), max(b_min, b_max))
+    return out
+
+
 @partial(jax.jit, static_argnames=("window",))
 def _separable_apply(vol, wx, wy, wz, window=None):
     # vol (X, Y, Z, C); w* (out_i, in_i)
     out = jnp.einsum("ax,xyzc->ayzc", wx, vol)
     out = jnp.einsum("by,ayzc->abzc", wy, out)
     out = jnp.einsum("dz,abzc->abdc", wz, out)
-    if window is not None:
-        a_min, a_max, b_min, b_max, clip = window
-        out = (out - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
-        if clip:
-            out = jnp.clip(out, min(b_min, b_max), max(b_min, b_max))
-    return out
+    return _apply_window(out, window)
 
 
 def _gather_coords(matrix: np.ndarray, out_shape, in_shape, mode: str):
@@ -114,12 +121,7 @@ def _gather_apply(vol, c0i, c1i, frac, mode, window=None):
                     )
                     term = vol[ix, iy, iz] * ww[..., None]
                     out = term if out is None else out + term
-    if window is not None:
-        a_min, a_max, b_min, b_max, clip = window
-        out = (out - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
-        if clip:
-            out = jnp.clip(out, min(b_min, b_max), max(b_min, b_max))
-    return out
+    return _apply_window(out, window)
 
 
 def affine_resample_device(
@@ -206,7 +208,7 @@ def _foreground_bbox_device(src: jax.Array):
         lo = jnp.where(any_fg, jnp.min(jnp.where(line, idx, line.shape[0])), 0)
         hi = jnp.where(any_fg, jnp.max(jnp.where(line, idx, -1)) + 1, line.shape[0])
         outs.append((lo, hi))
-    return outs
+    return outs, fg.any()
 
 
 def crop_foreground_device(sample: dict, source_key: str = "image",
@@ -215,7 +217,9 @@ def crop_foreground_device(sample: dict, source_key: str = "image",
     (6 scalars fetched), slice applied to the device arrays."""
     out = dict(sample)
     src = jnp.asarray(out[source_key])
-    bounds = jax.device_get(_foreground_bbox_device(src))
+    bounds, any_fg = jax.device_get(_foreground_bbox_device(src))
+    if not bool(any_fg):  # host twin: all-background volumes pass untouched
+        return out
     starts = [max(int(lo) - margin, 0) for lo, _ in bounds]
     stops = [
         min(int(hi) + margin, s) for (_, hi), s in zip(bounds, src.shape[:3])
@@ -223,6 +227,10 @@ def crop_foreground_device(sample: dict, source_key: str = "image",
     if all(a == 0 for a in starts) and all(
         b == s for b, s in zip(stops, src.shape[:3])
     ):
+        # full-extent bbox: no crop, but keep the key set exactly like the
+        # host twin (transforms.crop_foreground) so downstream consumers
+        # (crop inversion) see identical samples from either pipeline
+        out["foreground_start"] = np.asarray(starts, dtype=np.int64)
         return out
     sl = tuple(slice(a, b) for a, b in zip(starts, stops))
     for key in keys:
@@ -254,12 +262,7 @@ def respace_device(sample: dict, pixdim, keys=("image", "label"),
         m = np.linalg.inv(affine) @ new_affine
         win = window if (key == "image" and window is not None) else None
         if np.array_equal(new_shape, in_shape) and np.allclose(m, np.eye(4)):
-            res = jnp.asarray(np.asarray(data), jnp.float32)
-            if win is not None:
-                a_min, a_max, b_min, b_max, clip = win
-                res = (res - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
-                if clip:
-                    res = jnp.clip(res, min(b_min, b_max), max(b_min, b_max))
+            res = _apply_window(jnp.asarray(np.asarray(data), jnp.float32), win)
         else:
             res = affine_resample_device(
                 jnp.asarray(np.asarray(data)), m, tuple(int(x) for x in new_shape),

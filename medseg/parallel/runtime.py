@@ -85,6 +85,18 @@ def process_info() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def barrier(name: str = "barrier") -> None:
+    """Cross-host synchronization point. No-op with one process; otherwise
+    blocks until every process reaches the same named point (used e.g.
+    between rank 0 committing a checkpoint and other ranks reading it off
+    the shared filesystem)."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def shard_datalist(items: list, process_index: int | None = None,
                    process_count: int | None = None) -> list:
     """This host's slice of a datalist: ``items[rank::world]``.

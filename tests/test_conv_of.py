@@ -393,3 +393,58 @@ def test_conv_of_manual_fetch_parity(rng, monkeypatch):
         monkeypatch.setenv("MEDSEG_MANUAL_FETCH", "0")
         co.conv3x3x3_of.clear_cache()
         co.conv3x3x3_of_combine.clear_cache()
+
+
+def test_fast_apply_v3_pp_manual_up_m_parity(rng, monkeypatch):
+    """The full manual-DMA-ring serving path INCLUDING up_m (the combine
+    kernel consuming the raw transpose-conv matmul output via
+    _manual_window_m/_up_rows_from_m — default-on under MEDSEG_MANUAL_FETCH=1
+    + MEDSEG_UP_DIRECT=1) reproduces the flax forward. img 32^3/fs 8 gives
+    d=32, zb=8: even and >= zb+4, so up_direct actually engages."""
+    from medseg.kernels import conv_of as co
+    from medseg.kernels import unetr_of as uo
+    from medseg.kernels.unetr_of import fast_apply_v3
+
+    monkeypatch.setenv("MEDSEG_MANUAL_FETCH", "1")
+    monkeypatch.setenv("MEDSEG_UP_DIRECT", "1")
+    kernels = (co.conv3x3x3_of, co.conv3x3x3_of_cat2,
+               co.conv3x3x3_of_combine, co.outhead_of)
+    for k in kernels:
+        k.clear_cache()
+    try:
+        model = UNETR(
+            in_channels=1, out_channels=3, img_size=(32, 32, 32),
+            feature_size=8, hidden_size=24, mlp_dim=48, num_heads=4,
+            num_layers=4, patch_size=16,
+        )
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32))
+        params = model.init(jax.random.key(0), x)
+        ref = model.apply(params, x, return_encoder_features=False)
+        got = fast_apply_v3(model, params, x, interpret=True, pp=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+        # small depth relative to the z-block (d < zb + 4, forced via
+        # MEDSEG_ZB16=32 at d=32 — exactly the S < ZD geometry whose ring
+        # fetch would clip to a negative DMA start): the up_direct gate must
+        # fall back to convt_expand_pp cleanly and still match flax.
+        monkeypatch.setenv("MEDSEG_ZB16", "32")
+        for k in kernels:
+            k.clear_cache()
+        assert co._zb_for(32, 16) == 32  # gate must actually trip: 32 < 32+4
+        got_s = fast_apply_v3(model, params, x, interpret=True, pp=True)
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+    finally:
+        for k in kernels:
+            k.clear_cache()
+
+
+def test_manual_window_m_rejects_small_depth():
+    """s < zd would clip to a NEGATIVE DMA start (jnp.clip with min > max);
+    the kernel must refuse at trace time instead of fetching out of bounds."""
+    from medseg.kernels import conv_of as co
+
+    with pytest.raises(ValueError, match="S >= ZD"):
+        co._manual_window_m(None, None, None, zb=8, nzb=1, s=4, zd=6)
