@@ -193,6 +193,7 @@ def main() -> None:
                 for k in (
                     "MEDSEG_MANUAL_FETCH", "MEDSEG_UP_DIRECT",
                     "MEDSEG_ZB16", "MEDSEG_ZB32", "BENCH_SWB",
+                    "MEDSEG_ZROW_TB", "MEDSEG_FAST_GELU",
                 )
                 if k in os.environ
             },

@@ -19,4 +19,11 @@ run MEDSEG_MANUAL_FETCH=1 MEDSEG_ZB16=16
 run MEDSEG_MANUAL_FETCH=1 MEDSEG_ZB32=4
 # tanh-approx GELU in the serving ViT (parity impact measured separately)
 run MEDSEG_MANUAL_FETCH=1 MEDSEG_FAST_GELU=1
+# zrow model batch (h_group * n_w; bench grid nh=n_w=10, so h_group is a
+# divisor of 10 -> batch 20 (g=2) / 50 (g=5)). Bigger batch = better ViT
+# MXU shapes + amortized kernel grids, larger live intermediates. Swept
+# with and without the DMA rings.
+run MEDSEG_ZROW_TB=20
+run MEDSEG_ZROW_TB=50
+run MEDSEG_MANUAL_FETCH=1 MEDSEG_ZROW_TB=20
 echo "=== sweep done $(date +%H:%M:%S) ===" >> "$log"

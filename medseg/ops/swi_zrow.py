@@ -38,6 +38,7 @@ Fallback for other grids: the ppk/flatk scatter paths in
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Callable, Sequence
 
@@ -202,10 +203,15 @@ def _zrow_device(
     )
 
 
-def _pick_h_group(nh: int, n_w: int, target_batch: int = 8) -> int:
+def _pick_h_group(nh: int, n_w: int, target_batch: int | None = None) -> int:
     """Largest divisor of nh keeping the model batch (h_group * n_w) within
     ``target_batch`` — per-window model cost drops with batch (measured
-    3.17/2.86/2.79/2.68 ms/window at batch 3/4/6/8, benchmarks/profile_zrow)."""
+    3.17/2.86/2.79/2.68 ms/window at batch 3/4/6/8, benchmarks/profile_zrow).
+    Default target is the MEDSEG_ZROW_TB env knob (8): bigger batches also
+    grow the ViT matmuls' M dimension toward the MXU ceiling, at the cost of
+    larger live intermediates — sweepable on hardware."""
+    if target_batch is None:
+        target_batch = int(os.environ.get("MEDSEG_ZROW_TB", "8"))
     best = 1
     for g in range(2, nh + 1):
         if nh % g == 0 and g * n_w <= target_batch:
