@@ -55,6 +55,13 @@ def main() -> None:
     from medseg.models.unetr import unetr_b16
     from medseg.ops.sliding_window import SlidingWindowSpec, sliding_window_inference
 
+    fast = os.environ.get("BENCH_FAST", DEFAULT_FAST)
+    if fast not in ("0", "2", "3", "4", "5", "6"):
+        # fail loudly BEFORE any compile: an unknown value (e.g. the removed
+        # round-1 "1") would otherwise run the plain-XLA path while the JSON
+        # records the requested pipeline string — mislabeled measurements
+        raise SystemExit(f"unknown BENCH_FAST={fast!r} (valid: 0,2,3,4,5,6)")
+
     print(f"devices: {jax.devices()}", file=sys.stderr)
     model = unetr_b16(in_channels=1, out_channels=N_CLASSES, crop_size=ROI, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -66,7 +73,6 @@ def main() -> None:
     # parity-plane scatter ("ppk"); "4" = v3 + flat-K16 scatter; "3" = v3
     # channel-first; "2" = v2 fused forward; "0" = plain XLA. All
     # parity-tested in tests/test_conv_of.py + tests/test_swi_zrow.py.
-    fast = os.environ.get("BENCH_FAST", DEFAULT_FAST)
     out_layout = "ndhwc"
     if fast == "6":
         from medseg.kernels.unetr_of import fast_apply_v3

@@ -1,5 +1,6 @@
-"""The conv_of kernel is DMA-bound at ~194 GB/s effective (probe_conv_kernel:
-every ablation lands at 2.3-2.5 ms for 452MB of in+out traffic). Probe
+"""The conv_of kernel is DMA-bound at ~194 GB/s effective (the retired
+3-stream ablation probe measured every variant at 2.3-2.5 ms for 452MB of
+in+out traffic; its successor is benchmarks/probe_halo_ablate.py). Probe
 whether bigger z-blocks (fewer, larger DMA transfers) lift effective
 bandwidth, plus a half-size run to detect fixed per-call overhead.
 """

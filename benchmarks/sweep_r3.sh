@@ -19,11 +19,13 @@ run MEDSEG_MANUAL_FETCH=1 MEDSEG_ZB16=16
 run MEDSEG_MANUAL_FETCH=1 MEDSEG_ZB32=4
 # tanh-approx GELU in the serving ViT (parity impact measured separately)
 run MEDSEG_MANUAL_FETCH=1 MEDSEG_FAST_GELU=1
-# zrow model batch (h_group * n_w; bench grid nh=n_w=10, so h_group is a
-# divisor of 10 -> batch 20 (g=2) / 50 (g=5)). Bigger batch = better ViT
+# zrow model batch (h_group * n_w; the config-4 grid is nh=10 h-rows x
+# n_w=3 w-windows — test_zrow_headline_grid_structure — so h_group is a
+# divisor of 10 and batch = 3*g: default TB=8 -> g=2 -> batch 6; TB=15 ->
+# g=5 -> batch 15; TB=30 -> g=10 -> batch 30). Bigger batch = better ViT
 # MXU shapes + amortized kernel grids, larger live intermediates. Swept
 # with and without the DMA rings.
-run MEDSEG_ZROW_TB=20
-run MEDSEG_ZROW_TB=50
-run MEDSEG_MANUAL_FETCH=1 MEDSEG_ZROW_TB=20
+run MEDSEG_ZROW_TB=15
+run MEDSEG_ZROW_TB=30
+run MEDSEG_MANUAL_FETCH=1 MEDSEG_ZROW_TB=15
 echo "=== sweep done $(date +%H:%M:%S) ===" >> "$log"

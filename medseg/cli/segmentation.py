@@ -140,7 +140,13 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
                     k: v for k, v in batch.items()
                     if isinstance(v, np.ndarray) and v.dtype != object
                 }
-                return shard_batch_multihost(mesh, arrays)
+                # every host must contribute the same local batch at the
+                # same step (SPMD) — enforce the full-size contract the
+                # drop_last loader below guarantees
+                return shard_batch_multihost(
+                    mesh, arrays,
+                    expected_local_batch=crops_per_step if world > 1 else None,
+                )
         else:
             logger.write(
                 f"data-parallel requested but {crops_per_step} crops/step "
@@ -148,6 +154,12 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
                 f"running single-device"
             )
 
+    if world > 1 and len(train_list_local) < args.batch_size:
+        raise ValueError(
+            f"host {rank}: local datalist shard ({len(train_list_local)} volumes) "
+            f"smaller than batch_size {args.batch_size} — with drop_last the "
+            "loader would yield nothing; use more data or a smaller batch"
+        )
     train_loader = DataLoader(
         train_ds,
         batch_size=args.batch_size,
@@ -155,6 +167,9 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
         num_workers=cfg.data.num_workers,
         seed=args.seed,
         device_put=put,
+        # multi-host: hosts may hold uneven shards; a short tail batch on one
+        # host would diverge the SPMD global shape (see shard_batch_multihost)
+        drop_last=world > 1,
     )
     val_loader = DataLoader(
         val_ds, batch_size=1, shuffle=False, num_workers=cfg.data.num_workers

@@ -399,7 +399,8 @@ def _halo_spec(zb: int, arr_c: int, lo: int) -> pl.BlockSpec:
     DPAD=1) per grid step, delivered exactly in the ``sel`` row order
     (row j = global data z = ZB*zblk + j - 1). Replaces the original three
     offset z-block streams, which re-DMA'd every input row 3x — measured
-    DMA-bound at ~388 GB/s of *actual* traffic (probe_conv_kernel/probe_zb);
+    DMA-bound at ~388 GB/s of *actual* traffic (measured with the 3-stream
+    probe, since superseded by benchmarks/probe_halo_ablate.py + probe_zb);
     the halo window fetches (ZB+2)/ZB ~= 1.5x instead. The DPAD guard rows
     keep every window in bounds (Mosaic Element indexing supports no low
     padding); their garbage values MUST be masked by ``_zvalid`` before use
@@ -426,29 +427,77 @@ def _zvalid(zblk, zb: int, d: int, c: int, lo: int):
     return jnp.logical_and(zg >= 0, zg < d)
 
 
+def _ring_fetch(nzb: int, first, steady=None, after_wait=None):
+    """The 2-slot double-buffered DMA ring protocol shared by every manual
+    fetch below: start the NEXT grid step's window DMA before waiting on the
+    current one, overlapping fetch with compute. Mosaic serializes the
+    automatic ``pl.Element`` halo pipeline against compute (measured ~2x:
+    probe_pipeline.py) because the overlapping Element windows alias; the
+    explicit ring restores the overlap.
+
+    Grid order is (b, z) with z fastest; slots are indexed by the GLOBAL
+    step ``g = bb*nzb + z`` so they stay consistent across batch boundaries
+    (a z-local slot breaks when nzb is odd, and double-fetches at z == 0 of
+    every bb > 0); the prefetch crosses into the next batch element at
+    z == nzb-1.
+
+    ``first(slot, bsel, zsel)`` builds the descriptor for window z == 0 of a
+    batch element; ``steady`` (default: ``first``) for z > 0 windows — waits
+    always pair with the descriptor shape that was started. ``after_wait(g)``
+    runs post-wait on non-final z steps (e.g. head-reuse VMEM copies).
+    Returns the current slot index (a traced scalar)."""
+    bb = pl.program_id(0)
+    z = pl.program_id(1)
+    nb = pl.num_programs(0)
+    g = bb * nzb + z
+    uniform = steady is None
+    if uniform:
+        steady = first
+
+    @pl.when(g == 0)
+    def _():
+        first(0, bb, 0).start()
+
+    nxt = z + 1
+    last = nxt == nzb
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        steady((g + 1) % 2, bb, nxt).start()
+
+    @pl.when(jnp.logical_and(last, bb + 1 < nb))
+    def _():
+        first((g + 1) % 2, bb + 1, 0).start()
+
+    if uniform:
+        first(g % 2, bb, z).wait()
+    else:
+        @pl.when(z == 0)
+        def _():
+            first(g % 2, bb, z).wait()
+
+        @pl.when(z != 0)
+        def _():
+            steady(g % 2, bb, z).wait()
+
+    if after_wait is not None:
+        @pl.when(jnp.logical_not(last))
+        def _():
+            after_wait(g)
+
+    return g % 2
+
+
 def _manual_window(x_hbm, buf, sem, zb: int, nzb: int):
-    """Manual double-buffered halo fetch: returns this step's (ZB+2, C, LO)
-    window rows from a 2-slot VMEM ring, with the NEXT step's window DMA
-    started before waiting on the current one — overlapping the z+1 fetch
-    with the z compute. Mosaic serializes the automatic ``pl.Element`` halo
-    pipeline against compute (measured ~2x: probe_pipeline.py), because the
-    overlapping Element windows alias; the explicit ring restores the
-    overlap. Grid order is (b, z) with z fastest; the prefetch crosses into
-    the next batch element at z == nzb-1.
+    """Manual double-buffered halo fetch (``_ring_fetch``): returns this
+    step's (ZB+2, C, LO) window rows from the 2-slot VMEM ring.
 
     HEAD REUSE: within a batch element, window z+1's first two halo rows ==
     window z's last two rows, so the within-batch prefetch DMAs only the ZB
     new rows into buf[nxt][2:] and the two head rows are copied VMEM-local
     from the current slot after its wait — eliminating the (ZB+2)/ZB halo
     overfetch entirely (read traffic 1.25x -> 1.0x at ZB=8). Window z == 0
-    of each batch element is a full ZB+2 fetch; waits pair with the
-    descriptor shape that was started (full at z == 0, tail otherwise)."""
-    bb = pl.program_id(0)
-    z = pl.program_id(1)
-    nb = pl.num_programs(0)
-    g = bb * nzb + z  # global step: slots follow g so they stay consistent
-    # across batch boundaries (a z-local slot breaks when nzb is odd, and
-    # double-fetches at z == 0 of every bb > 0)
+    of each batch element is a full ZB+2 fetch."""
 
     def full(slot, bsel, zsel):
         return pltpu.make_async_copy(
@@ -464,36 +513,12 @@ def _manual_window(x_hbm, buf, sem, zb: int, nzb: int):
             sem.at[slot],
         )
 
-    @pl.when(g == 0)
-    def _():
-        full(0, bb, 0).start()
-
-    nxt = z + 1
-    last = nxt == nzb
-
-    @pl.when(jnp.logical_not(last))
-    def _():
-        tail((g + 1) % 2, bb, nxt).start()
-
-    @pl.when(jnp.logical_and(last, bb + 1 < nb))
-    def _():
-        full((g + 1) % 2, bb + 1, 0).start()
-
-    @pl.when(z == 0)
-    def _():
-        full(g % 2, bb, z).wait()
-
-    @pl.when(z != 0)
-    def _():
-        tail(g % 2, bb, z).wait()
-
-    @pl.when(jnp.logical_not(last))
-    def _():
+    def head_copy(g):
         # head rows for the next window: VMEM-local copy of this window's
         # last two rows (disjoint from the in-flight tail DMA into [2:])
         buf[(g + 1) % 2, 0:2] = buf[g % 2, zb : zb + 2]
 
-    return buf[g % 2]
+    return buf[_ring_fetch(nzb, full, tail, head_copy)]
 
 
 def _manual_window_m(m_hbm, buf, sem, zb: int, nzb: int, s: int, zd: int):
@@ -507,10 +532,6 @@ def _manual_window_m(m_hbm, buf, sem, zb: int, nzb: int, s: int, zd: int):
             f"_manual_window_m needs S >= ZD ({s} < {zd}); "
             "disable up_m for this depth"
         )
-    bb = pl.program_id(0)
-    z = pl.program_id(1)
-    nb = pl.num_programs(0)
-    g = bb * nzb + z
 
     def d0f(zsel):
         return jnp.clip(zb * zsel // 2 - 1, 0, s - zd)
@@ -522,23 +543,7 @@ def _manual_window_m(m_hbm, buf, sem, zb: int, nzb: int, s: int, zd: int):
             sem.at[slot],
         )
 
-    @pl.when(g == 0)
-    def _():
-        fetch(0, bb, 0).start()
-
-    nxt = z + 1
-    last = nxt == nzb
-
-    @pl.when(jnp.logical_not(last))
-    def _():
-        fetch((g + 1) % 2, bb, nxt).start()
-
-    @pl.when(jnp.logical_and(last, bb + 1 < nb))
-    def _():
-        fetch((g + 1) % 2, bb + 1, 0).start()
-
-    fetch(g % 2, bb, z).wait()
-    return buf[g % 2], d0f(z)
+    return buf[_ring_fetch(nzb, fetch)], d0f(pl.program_id(1))
 
 
 def _up_rows_from_m(mblk, d0f, zblk, zb: int, s: int, zd: int, ch: int,
@@ -1099,13 +1104,9 @@ def conv3x3x3_of_combine(
 
 
 def _manual_rows(x_hbm, buf, sem, zb: int, nzb: int):
-    """Aligned no-halo variant of ``_manual_window``: zb-row windows at
-    padded offset DPAD + z*zb, double-buffered with the next window's DMA
-    started before this one's wait. No head reuse (windows are disjoint)."""
-    bb = pl.program_id(0)
-    z = pl.program_id(1)
-    nb = pl.num_programs(0)
-    g = bb * nzb + z
+    """Aligned no-halo variant of ``_manual_window`` (same ``_ring_fetch``
+    protocol): zb-row windows at padded offset DPAD + z*zb. No head reuse
+    (windows are disjoint)."""
 
     def fetch(slot, bsel, zsel):
         return pltpu.make_async_copy(
@@ -1114,23 +1115,7 @@ def _manual_rows(x_hbm, buf, sem, zb: int, nzb: int):
             sem.at[slot],
         )
 
-    @pl.when(g == 0)
-    def _():
-        fetch(0, bb, 0).start()
-
-    nxt = z + 1
-    last = nxt == nzb
-
-    @pl.when(jnp.logical_not(last))
-    def _():
-        fetch((g + 1) % 2, bb, nxt).start()
-
-    @pl.when(jnp.logical_and(last, bb + 1 < nb))
-    def _():
-        fetch((g + 1) % 2, bb + 1, 0).start()
-
-    fetch(g % 2, bb, z).wait()
-    return buf[g % 2]
+    return buf[_ring_fetch(nzb, fetch)]
 
 
 def _outhead_kernel(

@@ -123,17 +123,34 @@ def per_host_batch_size(global_batch: int, process_count: int | None = None) -> 
     return global_batch // process_count
 
 
-def shard_batch_multihost(mesh, batch):
+def shard_batch_multihost(mesh, batch, expected_local_batch: int | None = None):
     """Assemble a host-local batch pytree into globally-sharded arrays.
 
     Each process passes its LOCAL shard (leading dim = global_batch /
     process_count); the result is one global array per leaf, batch axis
     sharded over the mesh ``data`` axis. Single-process: plain ``device_put``
     (identical to ``mesh.shard_batch``).
+
+    ``expected_local_batch`` guards the multi-host SPMD contract: every
+    process must contribute the SAME local leading dim at the same step —
+    ``make_array_from_process_local_data`` does not check, so a short tail
+    batch on one host silently builds arrays with *different global shapes
+    per process* and training corrupts without an error. Callers that cycle
+    a DataLoader must use ``drop_last`` and pass the full batch size here;
+    a mismatch raises on the offending host instead.
     """
     sh = batch_sharding(mesh)
     if jax.process_count() <= 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if expected_local_batch is not None:
+        for path, x in jax.tree_util.tree_flatten_with_path(batch)[0]:
+            if np.shape(x)[0] != expected_local_batch:
+                raise ValueError(
+                    f"multi-host batch leaf {jax.tree_util.keystr(path)} has local "
+                    f"batch {np.shape(x)[0]} != expected {expected_local_batch}; "
+                    "other hosts would assemble a different global shape "
+                    "(use drop_last=True on the loader)"
+                )
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
     )

@@ -85,4 +85,17 @@ counts = psum_metric_counts(
 expect = np.asarray(confusion_counts(jnp.asarray(pred), jnp.asarray(targ))).sum(0)
 np.testing.assert_allclose(np.asarray(counts), expect, rtol=1e-5)
 
-print(json.dumps({"rank": rank, "loss": loss, "shard": my_items}), flush=True)
+# the SPMD batch guard: a short tail batch (uneven host shards without
+# drop_last) must raise on the offending host, not silently assemble
+# globally inconsistent arrays
+short = {"image": image[: lb - 1] if rank == 0 else image[:lb]}
+try:
+    shard_batch_multihost(mesh, short, expected_local_batch=lb)
+    guard_ok = rank != 0  # rank 0's short batch must have raised
+except ValueError:
+    guard_ok = rank == 0
+
+print(
+    json.dumps({"rank": rank, "loss": loss, "shard": my_items, "guard_ok": guard_ok}),
+    flush=True,
+)

@@ -54,6 +54,9 @@ def test_two_process_data_parallel_step():
     assert sorted(shards[0] + shards[1]) == list(range(10))
     assert not set(shards[0]) & set(shards[1])
 
+    # short-local-batch guard raised on the offending host only
+    assert results[0]["guard_ok"] and results[1]["guard_ok"]
+
 
 def test_shard_datalist_single_process():
     from medseg.parallel.runtime import shard_datalist
