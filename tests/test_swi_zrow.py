@@ -132,6 +132,30 @@ def test_zrow_with_v3_fallback_model(rng):
     assert float(np.max(np.abs(np.asarray(got) - np.asarray(ref)))) < 0.02 * scale
 
 
+def test_zrow_tb_env_knob(rng, monkeypatch):
+    """MEDSEG_ZROW_TB picks a bigger h_group divisor and must not change the
+    blend (sweep knob, benchmarks/sweep_r3.sh)."""
+    from medseg.ops.swi_zrow import _pick_h_group
+
+    # config-4 geometry: nh=10 h-rows x n_w=3 w-windows (divisors of 10)
+    assert _pick_h_group(10, 3) == 2  # default TB=8 -> batch 6
+    monkeypatch.setenv("MEDSEG_ZROW_TB", "15")
+    assert _pick_h_group(10, 3) == 5
+    monkeypatch.setenv("MEDSEG_ZROW_TB", "30")
+    assert _pick_h_group(10, 3) == 10
+
+    vol = rng.normal(size=(20, 20, 14, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 5)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=0.5, mode="gaussian")
+    ref = sliding_window_inference(jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, 5, spec)
+    monkeypatch.setenv("MEDSEG_ZROW_TB", "12")
+    got = sliding_window_inference_zrow(
+        jnp.asarray(w), jnp.asarray(vol), make_apply_pp(w, 5, 8), 5, spec,
+        acc_dtype="fp32",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("h_group", [1, 2])
 def test_zrow_h_group_matches(rng, h_group):
     """h-row grouping (bigger model batches) must not change the blend."""
