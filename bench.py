@@ -203,6 +203,7 @@ def main() -> None:
                 )
                 if k in os.environ
             },
+            "manual_ring": _manual_ring_resolved(),
         }
     }
     if os.environ.get("BENCH_ONLY", "") != "4":
@@ -236,6 +237,15 @@ def main() -> None:
             }
         )
     )
+
+
+def _manual_ring_resolved() -> bool:
+    """The resolved manual-DMA-ring default (env override or TPU-backend
+    default) — recorded in the JSON so headline numbers are attributable
+    even when no kernel env vars are set."""
+    from medseg.kernels.conv_of import _manual_fetch_on
+
+    return _manual_fetch_on()
 
 
 def _train_step_throughput(n_classes: int, batch: int) -> dict:

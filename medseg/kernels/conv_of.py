@@ -524,47 +524,96 @@ def _manual_window(x_hbm, buf, sem, zb: int, nzb: int):
 def _manual_window_m(m_hbm, buf, sem, zb: int, nzb: int, s: int, zd: int):
     """Ring fetch of the transpose-conv MATMUL output ``m`` (B, 8CO, S, SEG)
     for the combine kernel's ``up`` stream (see ``convt_matmul_pp``): per
-    grid step one (8CO, ZD, SEG) block covering the d-rows feeding this
-    window's z-rows, clamped to [0, S-ZD]. Same global-step slot scheme as
-    ``_manual_window``."""
-    if s < zd:  # trace-time shapes: clip(min > max) would yield a NEGATIVE
-        raise ValueError(  # DMA start — callers must gate on d >= zb + 4
-            f"_manual_window_m needs S >= ZD ({s} < {zd}); "
-            "disable up_m for this depth"
+    grid step one (8CO, <=ZD, SEG) block covering the d-rows feeding this
+    window's z-rows. Same global-step slot scheme as ``_manual_window``.
+
+    The in-kernel row mapping is kept FULLY STATIC (Mosaic cannot lower a
+    dynamic-index slice of a loaded array — hardware lowering error found
+    in the round-3 A/B) by absorbing the volume-edge clamp into the DMA
+    descriptors instead: buffer row dl holds global d-row
+    ``zb*zblk//2 - 1 + dl``; the bottom window's fetch lands at buffer
+    offset 1 (buf row 0 = the d=-1 row, garbage) and the top window fetches
+    one fewer row (buf row ZD-1 = the d=S row, garbage). Both garbage rows
+    feed only z-rows that ``_zvalid`` zeroes (z = -1 and z = D)."""
+    if s + 1 < zd or nzb < 2:  # callers gate on d >= zb + 4
+        raise ValueError(
+            f"_manual_window_m needs S+1 >= ZD and nzb >= 2 "
+            f"(S={s}, ZD={zd}, nzb={nzb}); disable up_m for this depth"
         )
 
-    def d0f(zsel):
-        return jnp.clip(zb * zsel // 2 - 1, 0, s - zd)
-
-    def fetch(slot, bsel, zsel):
+    # m is laid out (B, S, 8CH, SEG) with the sliced d-rows on the MAJOR
+    # (untiled) dim: Mosaic requires DMA slice sizes along the tiled
+    # (sublane/lane) dims to be tiling-aligned, and ZD = zb//2 + 2 is not
+    def bottom(slot, bsel, zsel):
         return pltpu.make_async_copy(
-            m_hbm.at[bsel, :, pl.ds(d0f(zsel), zd)],
+            m_hbm.at[bsel, pl.ds(0, zd - 1)],
+            buf.at[slot, pl.ds(1, zd - 1)],
+            sem.at[slot],
+        )
+
+    def interior(slot, bsel, zsel):
+        return pltpu.make_async_copy(
+            m_hbm.at[bsel, pl.ds(zb * zsel // 2 - 1, zd)],
             buf.at[slot],
             sem.at[slot],
         )
 
-    return buf[_ring_fetch(nzb, fetch)], d0f(pl.program_id(1))
+    def top(slot, bsel, zsel):
+        return pltpu.make_async_copy(
+            m_hbm.at[bsel, pl.ds(zb * zsel // 2 - 1, zd - 1)],
+            buf.at[slot, pl.ds(0, zd - 1)],
+            sem.at[slot],
+        )
+
+    class _Steady:
+        """Interior/top descriptor selected by a ``pl.when`` branch at both
+        the start and the wait site (waits must pair with the started
+        descriptor's byte count)."""
+
+        def __init__(self, slot, bsel, zsel):
+            self.args = (slot, bsel, zsel)
+
+        def start(self):
+            slot, bsel, zsel = self.args
+
+            @pl.when(zsel != nzb - 1)
+            def _():
+                interior(slot, bsel, zsel).start()
+
+            @pl.when(zsel == nzb - 1)
+            def _():
+                top(slot, bsel, zsel).start()
+
+        def wait(self):
+            slot, bsel, zsel = self.args
+
+            @pl.when(zsel != nzb - 1)
+            def _():
+                interior(slot, bsel, zsel).wait()
+
+            @pl.when(zsel == nzb - 1)
+            def _():
+                top(slot, bsel, zsel).wait()
+
+    return buf[_ring_fetch(nzb, bottom, _Steady)]
 
 
-def _up_rows_from_m(mblk, d0f, zblk, zb: int, s: int, zd: int, ch: int,
-                    seg: int):
-    """Rearrange an m-block (8*CH, ZD, SEG) into the up halo window rows
+def _up_rows_from_m(mblk, zb: int, zd: int, ch: int, seg: int):
+    """Rearrange an m-block (ZD, 8*CH, SEG) into the up halo window rows
     (ZB+2, CH, 4*SEG) for this grid step.
 
     Window row r holds output z = zb*zblk + r - 1 = 2d + i. With zb even,
-    the parity i_r = (r+1) % 2 and the within-block d-offset are STATIC per
-    r up to one dynamic scalar shift (the edge clamp of the fetch window) —
-    so every extract is a static-sublane slice with one dynamic d index.
-    Out-of-range rows (z < 0, z >= 2S) read clamped garbage that the
-    caller's ``_zvalid`` mask zeroes."""
-    shift = zb * zblk // 2 - d0f  # 0 at zblk==0, 1 interior, >=1 at the top
+    the parity i_r = (r+1) % 2 is static per r, and with the edge-variant
+    fetch of ``_manual_window_m`` (buffer row dl = global d-row
+    zb*zblk//2 - 1 + dl) the within-block d-offset is static too:
+    dl(0) = 0, dl(r>=1) = (r-1)//2 + 1 — every extract is a pure static
+    slice. Edge garbage rows are zeroed by the caller's ``_zvalid`` mask."""
     rows = []
     for r in range(zb + 2):
         i_r = (r + 1) % 2
-        static_d = (r - 1) // 2 if r >= 1 else -1
-        dl = jnp.clip(static_d + shift, 0, zd - 1)
+        dl = 0 if r == 0 else (r - 1) // 2 + 1
         planes = [
-            mblk[(i_r * 4 + jl) * ch : (i_r * 4 + jl + 1) * ch, dl]
+            mblk[dl, (i_r * 4 + jl) * ch : (i_r * 4 + jl + 1) * ch]
             for jl in range(4)
         ]  # 4 x (CH, SEG)
         rows.append(jnp.concatenate(planes, axis=-1))
@@ -577,11 +626,14 @@ def convt_matmul_pp(
     dtype,
 ) -> jax.Array:
     """The matmul half of ``convt_expand_pp`` WITHOUT the plane transpose:
-    returns m (B, 8*CO, S, SEG) where row (i*4 + 2j + l)*CO + co at (d, hw)
+    returns m (B, S, 8*CO, SEG) where row (i*4 + 2j + l)*CO + co at (d, hw)
     is the (i, j, l) filter tap of input slice d — i.e. output voxel
-    z = 2d+i, plane (j, l), channel co. The combine kernel consumes this
-    directly (``_up_rows_from_m``), skipping the 2x volume-bytes
-    materialization+transpose pass of the up tensor entirely."""
+    z = 2d+i, plane (j, l), channel co. The sliced d-rows sit on the MAJOR
+    (untiled) dim so the combine kernel's ring can DMA arbitrary-size d
+    windows (Mosaic constrains slice sizes on the tiled sublane/lane dims
+    only). The combine kernel consumes this directly (``_up_rows_from_m``),
+    skipping the 2x volume-bytes materialization+transpose pass of the up
+    tensor entirely."""
     b, sp, ci, seg = t_of.shape
     s = sp - 2 * DPAD
     t_of = t_of[:, DPAD : DPAD + s]
@@ -591,9 +643,9 @@ def convt_matmul_pp(
     k8 = kern.reshape(8 * co, ci).astype(t_of.dtype)
     b8 = jnp.tile(bias.astype(jnp.float32), 8)  # co fastest, like k8's rows
     m = jnp.einsum(
-        "tc,bdcl->btdl", k8, t_of, preferred_element_type=jnp.float32
+        "tc,bdcl->bdtl", k8, t_of, preferred_element_type=jnp.float32
     )
-    return (m + b8[None, :, None, None]).astype(dtype)
+    return (m + b8[None, None, :, None]).astype(dtype)
 
 
 def _kernel(
@@ -679,10 +731,17 @@ def _kernel(
 
 def _manual_fetch_on() -> bool:
     """Manual double-buffered halo fetch (see _manual_window).
-    MEDSEG_MANUAL_FETCH=1 enables; default is the automatic Element-halo
-    pipeline until the manual ring is measured faster (probe_pipeline.py).
-    Read at trace time — set it before the first call in a process."""
-    return os.environ.get("MEDSEG_MANUAL_FETCH", "0") == "1"
+    Default ON for real TPU backends — the ring enables up_m (the combine
+    kernel consuming the transpose-conv matmul output directly), measured
+    A/B on v5e: serving 1.098 -> 1.188 vol/s, fast_apply_v3 parity exact
+    (benchmarks/ab_manual.py). Default OFF elsewhere (interpret-mode CPU
+    tests keep the cheaper-to-trace automatic Element-halo pipeline;
+    explicit MEDSEG_MANUAL_FETCH=1 still forces it, as the ring parity
+    tests do). Read at trace time — set it before the first call."""
+    env = os.environ.get("MEDSEG_MANUAL_FETCH")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 @functools.partial(
@@ -729,7 +788,10 @@ def conv3x3x3_of(
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
-    manual = _manual_fetch_on()
+    # Mosaic rejects explicit-DMA blocks whose sublane (channel) dim is below
+    # the dtype packing factor; C=1 (enc1.conv1) stays on the automatic halo
+    # pipeline — its bytes are 1/16th of a 16-channel stream anyway
+    manual = _manual_fetch_on() and c >= 8
     x_spec = (
         pl.BlockSpec(memory_space=pl.ANY) if manual else _halo_spec(zb, c, lo)
     )
@@ -936,19 +998,17 @@ def _combine_kernel(
     c = 2 * c_half
 
     if manual:
-        ubuf, usem, ybuf, ysem, xbuf, xsem = scratch
+        ubuf, usem, ybuf, ysem = scratch
         nzb = d // zb
         if up_m:
             s_half = d // 2
             zd = zb // 2 + 2
-            mblk, d0f = _manual_window_m(uph, ubuf, usem, zb, nzb, s_half, zd)
-            u_win = _up_rows_from_m(
-                mblk, d0f, zblk, zb, s_half, zd, c_half, lo // 4
-            )
+            mblk = _manual_window_m(uph, ubuf, usem, zb, nzb, s_half, zd)
+            u_win = _up_rows_from_m(mblk, zb, zd, c_half, lo // 4)
         else:
             u_win = _manual_window(uph, ubuf, usem, zb, nzb)
         y_win = _manual_window(yh, ybuf, ysem, zb, nzb)
-        x_win = _manual_window(xh, xbuf, xsem, zb, nzb)
+        x_win = xh[0]  # C=1: automatic halo pipeline (see conv3x3x3_of_combine)
     else:
         u_win, y_win, x_win = uph[0], yh[0], xh[0]
     u_sel = u_win.astype(jnp.float32)  # halo rows (ZB+2, CH, LO)
@@ -1047,7 +1107,7 @@ def conv3x3x3_of_combine(
     manual = _manual_fetch_on()
     if up_m:
         assert pp and manual and zb % 2 == 0, (pp, manual, zb)
-        assert up.shape == (bsz, 8 * c_half, d // 2, lo // 4), up.shape
+        assert up.shape == (bsz, d // 2, 8 * c_half, lo // 4), up.shape
 
     ab_spec = pl.BlockSpec((1, c_half, 1), lambda bb, z: (bb, 0, 0))
     stat_spec = pl.BlockSpec((1, c_out, LANE), lambda bb, z: (bb, 0, 0))
@@ -1055,6 +1115,10 @@ def conv3x3x3_of_combine(
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
+    # the C=1 x stream stays on the automatic halo pipeline even in manual
+    # mode: its (ZB+2, 1, LO) ring blocks have a sublane dim below the bf16
+    # packing factor, which Mosaic rejects for explicit DMAs — and at 1/16th
+    # of the y stream's bytes the ring gains nothing there
     halo = (
         (lambda arr_c: pl.BlockSpec(memory_space=pl.ANY))
         if manual
@@ -1064,7 +1128,7 @@ def conv3x3x3_of_combine(
     if manual:
         if up_m:
             scratch_shapes += [
-                pltpu.VMEM((2, 8 * c_half, zb // 2 + 2, lo // 4), up.dtype),
+                pltpu.VMEM((2, zb // 2 + 2, 8 * c_half, lo // 4), up.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
@@ -1072,11 +1136,10 @@ def conv3x3x3_of_combine(
                 pltpu.VMEM((2, zb + 2, c_half, lo), up.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
-        for arr_c in (c_half, 1):
-            scratch_shapes += [
-                pltpu.VMEM((2, zb + 2, arr_c, lo), y.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ]
+        scratch_shapes += [
+            pltpu.VMEM((2, zb + 2, c_half, lo), y.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
     kern = functools.partial(
         _combine_kernel,
@@ -1090,7 +1153,7 @@ def conv3x3x3_of_combine(
         in_specs=[
             halo(c_half),
             halo(c_half),
-            halo(1),
+            _halo_spec(zb, 1, lo),  # C=1 x stream: always automatic
             ab_spec, ab_spec, ab_spec, ab_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -442,9 +442,13 @@ def test_fast_apply_v3_pp_manual_up_m_parity(rng, monkeypatch):
 
 
 def test_manual_window_m_rejects_small_depth():
-    """s < zd would clip to a NEGATIVE DMA start (jnp.clip with min > max);
-    the kernel must refuse at trace time instead of fetching out of bounds."""
+    """Too-small S (or a single z-block) cannot supply the edge-variant
+    fetch windows; the kernel must refuse at trace time instead of building
+    an out-of-bounds DMA descriptor."""
     from medseg.kernels import conv_of as co
 
-    with pytest.raises(ValueError, match="S >= ZD"):
+    with pytest.raises(ValueError, match="disable up_m"):
         co._manual_window_m(None, None, None, zb=8, nzb=1, s=4, zd=6)
+    with pytest.raises(ValueError, match="disable up_m"):
+        # nzb == 1: no interior/top split exists
+        co._manual_window_m(None, None, None, zb=8, nzb=1, s=8, zd=6)
