@@ -115,15 +115,25 @@ def from_output_form(o: jax.Array, h: int, w: int, dpad: int = DPAD) -> jax.Arra
 def _zb_for(d: int, c_in: int) -> int:
     """z-slices per grid step: amortizes the z-halo overfetch (to (Z+2)/Z),
     per-step DMA/pipeline overhead, and widens the matmul N by Z. Bounded by
-    VMEM (patch matrix is (9*C, Z*LO)). With the single-stream halo fetch,
-    bigger blocks win for the thin-C convs (standalone zb sweep at 8x96^3
-    C16: 4/8/12/16 -> 2.82/2.53/4.06/2.35 ms; model-level full-res chain:
-    limit 4/8/16 -> 19.2/18.6/19.1 ms, so 8); C>16 keeps zb=2 for VMEM."""
-    limit = (
-        int(os.environ.get("MEDSEG_ZB16", "8"))
-        if c_in <= 16
-        else int(os.environ.get("MEDSEG_ZB32", "2"))  # C>16: VMEM-bounded
-    )
+    VMEM (patch matrix is (9*C, Z*LO)).
+
+    Defaults depend on the fetch pipeline. The manual DMA ring holds ONE
+    (ZB+2)-row window per stream (vs the automatic Element-halo pipeline's
+    3 offset z-streams), so much larger blocks fit VMEM — and they cut the
+    combine kernel's m-ring overfetch (ZD = zb/2 + 2 d-rows per zb z-rows:
+    1.5x at zb=2, 1.12x at zb=16). Hardware sweep under the ring (bench
+    config 4, v5e): ZB32 2/4/8/16/32 -> 1.187/1.209/1.220/1.224/OOM vol/s;
+    ZB16 8/12/16 at ZB32=16 -> 1.224/1.232/1.230. Automatic-pipeline
+    defaults (ring off) stay at the round-2 sweep values (ZB16=8, ZB32=2 —
+    larger blocks OOM VMEM there)."""
+    if c_in <= 16:
+        limit = int(
+            os.environ.get("MEDSEG_ZB16", "12" if _manual_fetch_on() else "8")
+        )
+    else:
+        limit = int(
+            os.environ.get("MEDSEG_ZB32", "16" if _manual_fetch_on() else "2")
+        )
     for z in (limit, 8, 4, 2):
         if z <= limit and d % z == 0:
             return z

@@ -441,6 +441,27 @@ def test_fast_apply_v3_pp_manual_up_m_parity(rng, monkeypatch):
             k.clear_cache()
 
 
+def test_zb_defaults_follow_fetch_pipeline(monkeypatch):
+    """z-block defaults are pipeline-dependent: the manual DMA ring holds one
+    (ZB+2)-row window per stream so large blocks fit VMEM (hardware sweep:
+    ZB32 16 / ZB16 12); the automatic Element-halo pipeline keeps the
+    round-2 defaults (8 / 2 — larger blocks OOM its 3 offset z-streams).
+    Explicit env always wins."""
+    from medseg.kernels import conv_of as co
+
+    monkeypatch.delenv("MEDSEG_ZB16", raising=False)
+    monkeypatch.delenv("MEDSEG_ZB32", raising=False)
+    monkeypatch.setenv("MEDSEG_MANUAL_FETCH", "1")
+    assert co._zb_for(96, 16) == 12
+    assert co._zb_for(96, 32) == 16
+    assert co._zb_for(8, 32) == 8  # divisor fallback
+    monkeypatch.setenv("MEDSEG_MANUAL_FETCH", "0")
+    assert co._zb_for(96, 16) == 8
+    assert co._zb_for(96, 32) == 2
+    monkeypatch.setenv("MEDSEG_ZB32", "4")
+    assert co._zb_for(96, 32) == 4  # env override beats both defaults
+
+
 def test_manual_window_m_rejects_small_depth():
     """Too-small S (or a single z-block) cannot supply the edge-variant
     fetch windows; the kernel must refuse at trace time instead of building
