@@ -49,6 +49,21 @@ def make_train_step(
         logits = model.apply(
             params, image, return_encoder_features=False, deterministic=False
         )
+        # CT path on TPU: fused Pallas DiceCE (kernels/loss_of.py) — same
+        # value/grad as dice_ce_loss, but the class dim rides sublanes
+        # instead of a 14-wide minor lane tile; the jnp chain's ~8 channel-
+        # minor full-volume passes cost ~38 ms/step at 4x96^3x14
+        # (benchmarks/trace_train.py). MEDSEG_FUSED_LOSS=0 restores jnp.
+        import os
+
+        from medseg.kernels.loss_of import dice_ce_fused, fused_loss_supported
+
+        if (
+            fused_loss_supported(logits.shape, task)
+            and jax.default_backend() == "tpu"
+            and os.environ.get("MEDSEG_FUSED_LOSS", "1") == "1"
+        ):
+            return dice_ce_fused(logits, label)
         return dice_ce_loss(
             logits,
             label,
