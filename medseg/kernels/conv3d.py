@@ -278,15 +278,38 @@ def _fwd(x, kernel):
     return conv3x3x3(x, kernel), (x, kernel)
 
 
+def _of_wgrad(x: jax.Array, g: jax.Array, interpret: bool = False) -> jax.Array:
+    """Filter grad through the of-form Pallas wgrad kernel (bf16 operands,
+    fp32 accumulation — same numerics class as ``_conv_dk(bf16)``). The XLA
+    (CDHWN x IDHWO) lowering of ``_conv_dk`` runs at ~5.6 TF/s fused with
+    the optimizer update at the 16-channel full-res shapes
+    (benchmarks/trace_train.py); the kernel reuses the forward's patch
+    stencil with adjoint-rolled cotangent rows."""
+    from medseg.kernels import conv_of
+
+    b, d, h, w, c = x.shape
+    co = g.shape[-1]
+    x_of = conv_of.to_output_form(x, dtype=jnp.bfloat16)
+    g_of = g.transpose(0, 1, 4, 2, 3).reshape(b, d, co, h * w).astype(jnp.bfloat16)
+    dw = conv_of.conv3x3x3_wgrad_of(x_of, g_of, h=h, w=w, interpret=interpret)
+    return conv_of.wgrad_to_kernel(dw, c, co)
+
+
+WGRAD = _os.environ.get("MEDSEG_WGRAD", "of")
+
+
 def _bwd(res, g):
     x, kernel = res
     if _route_of(x, kernel):
         # TPU training path: bwd-data through the of-form Pallas kernel
-        # (flipped-transposed weights), filter grad as one explicit bf16
-        # conv (XLA's own bwd convs cost 22 ms at 4x96^3x16 vs ~2.5 here;
-        # fp32 buys nothing — probe_convbwd.py).
+        # (flipped-transposed weights); filter grad through the of-form
+        # wgrad kernel (MEDSEG_WGRAD=xla restores the explicit bf16 XLA
+        # conv of _conv_dk, which is exact-but-slow: probe_convbwd.py).
         dx = _conv_dx(g, kernel)
-        dk = _conv_dk(x, g, jnp.bfloat16)
+        if WGRAD == "of":
+            dk = _of_wgrad(x, g)
+        else:
+            dk = _conv_dk(x, g, jnp.bfloat16)
         return dx.astype(x.dtype), dk.astype(kernel.dtype)
     # Backward through the mathematically-identical XLA conv in fp32
     # (correct by construction; XLA's conv transpose rules don't handle

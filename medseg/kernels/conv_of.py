@@ -849,6 +849,121 @@ def conv3x3x3_of(
     )(*operands)
 
 
+def _wgrad_kernel(
+    xh, g_ref, dw_ref, *scratch,
+    c: int, c_out: int, h: int, w: int, d: int, zb: int,
+    compute_dtype, interpret: bool, manual: bool,
+):
+    """Filter gradient of the 3x3x3 stride-1 zero-pad conv, of-form compact:
+    dW(3CO, 9C) += adjoint-rolled cotangent rows @ patches^T per (b, zblk).
+
+    The forward (``_kernel``) computes out = R(W @ S(x)) with S = the
+    (dz, dy) patch stencil and R = the dx roll-combine (``_dx_combine``,
+    compact: edge-masked +-1 lane rolls). By bilinearity
+    dW = sum_blocks R*(g) @ S(x)^T where R* is the roll adjoint: mask the
+    x==0 column for the left tap (x==w-1 for the right), then roll the
+    OPPOSITE way; the mask-before-roll ordering makes the lane-rotation
+    wraparound (across z segments and volume edges) multiply zeroed values,
+    exactly mirroring the forward's mask-after-roll."""
+    zblk = pl.program_id(1)
+    bb = pl.program_id(0)
+    lo = h * w  # compact only (asserted by the wrapper)
+    if manual:
+        win = _manual_window(xh, scratch[0], scratch[1], zb, d // zb)
+    else:
+        win = xh[0]
+    sel = jnp.where(_zvalid(zblk, zb, d, c, lo), win.astype(jnp.float32), 0.0)
+    if compute_dtype == jnp.bfloat16 and c % 2 == 0:
+        sel = sel.astype(compute_dtype)
+    bases = _dz_bases(sel, zb, lo)
+    patches9 = _stencil9(bases, c, zb, lo, w, compute_dtype, interpret)
+
+    gblk = g_ref[0]  # (ZB, CO, LO)
+    zlo = zb * lo
+    gfull = jnp.concatenate(
+        [gblk[j] for j in range(zb)], axis=-1
+    ).astype(jnp.float32)  # (CO, ZB*LO)
+    xpos = jax.lax.broadcasted_iota(jnp.int32, (c_out, zlo), 1) % w
+    rows = []
+    for dx in range(3):
+        gm = gfull
+        if dx == 0:
+            gm = jnp.where(xpos == 0, 0.0, gm)
+        elif dx == 2:
+            gm = jnp.where(xpos == w - 1, 0.0, gm)
+        sh = (dx - 1) % zlo
+        if sh:
+            gm = pltpu.roll(gm, sh, 1)
+        rows.append(gm.astype(compute_dtype))
+    gstack = jnp.concatenate(rows, axis=0)  # (3CO, ZB*LO)
+    dw = jax.lax.dot_general(
+        gstack, patches9, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (3CO, 9C)
+
+    @pl.when((bb == 0) & (zblk == 0))
+    def _():
+        dw_ref[...] = dw
+
+    @pl.when((bb != 0) | (zblk != 0))
+    def _():
+        dw_ref[...] += dw
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def conv3x3x3_wgrad_of(
+    x: jax.Array,  # output-form (B, D + 2*DPAD, C, H*W) compact
+    g: jax.Array,  # cotangent (B, D, CO, H*W) compact, no DPAD rows
+    *,
+    h: int,
+    w: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """dL/dW of ``conv3x3x3_of(input_act="none")`` in ``weight_matrix``
+    layout (3*CO, 9*C) fp32. Training use: replaces the XLA filter-grad conv
+    (``conv3d._conv_dk``) whose (CDHWN x IDHWO) lowering runs at ~5.6 TF/s
+    on the 16-channel full-res shapes (benchmarks/trace_train.py)."""
+    bsz, dp, c, lo = x.shape
+    d = dp - 2 * DPAD
+    assert lo == h * w, "wgrad kernel: compact lane convention only"
+    _, dg, c_out, log = g.shape
+    assert (dg, log) == (d, lo), (g.shape, x.shape)
+    zb = _zb_for(d, c)
+    manual = _manual_fetch_on() and c >= 8
+    x_spec = (
+        pl.BlockSpec(memory_space=pl.ANY) if manual else _halo_spec(zb, c, lo)
+    )
+    scratch_shapes = (
+        [pltpu.VMEM((2, zb + 2, c, lo), x.dtype), pltpu.SemaphoreType.DMA((2,))]
+        if manual
+        else []
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _wgrad_kernel,
+            c=c, c_out=c_out, h=h, w=w, d=d, zb=zb,
+            compute_dtype=g.dtype, interpret=interpret, manual=manual,
+        ),
+        grid=(bsz, d // zb),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, zb, c_out, lo), lambda bb, z: (bb, z, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3 * c_out, 9 * c), lambda bb, z: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3 * c_out, 9 * c), jnp.float32),
+        scratch_shapes=scratch_shapes,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(x, g)
+
+
+def wgrad_to_kernel(dw: jax.Array, c: int, c_out: int) -> jax.Array:
+    """(3*CO, 9*C) ``weight_matrix``-layout gradient -> (3, 3, 3, C, CO)
+    kernel gradient (the inverse of ``conv3d.weight_matrix``'s packing:
+    dx-major rows, (dz, dy, ci) columns)."""
+    return dw.reshape(3, c_out, 3, 3, c).transpose(2, 3, 0, 4, 1)
+
+
 def _cat2_kernel(
     xa, xb, w_ref, wr_ref,
     o_ref, s_ref, ss_ref, r_ref, rs_ref, rss_ref,

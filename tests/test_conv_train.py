@@ -58,6 +58,10 @@ def test_routed_custom_vjp_grads(data, monkeypatch):
     monkeypatch.setattr(
         conv3d, "_of_conv", lambda xx, kk, interpret=False: _of_conv(xx, kk, True)
     )
+    wgrad_orig = conv3d._of_wgrad
+    monkeypatch.setattr(
+        conv3d, "_of_wgrad", lambda xx, gg, interpret=False: wgrad_orig(xx, gg, True)
+    )
 
     def loss(fn):
         def f(xx, kk):
@@ -87,3 +91,41 @@ def test_of_routing_predicate():
         x = jnp.zeros((2, 96, 96, 96, 16))
         k = jnp.zeros((3, 3, 3, 16, 16))
         assert not conv3d._route_of(x, k)
+
+
+def test_wgrad_kernel_matches_vjp_oracle(data):
+    """The Pallas wgrad kernel (adjoint-rolled cotangents @ fwd patches^T)
+    vs the fp32 XLA vjp filter grad. fp32 operands here isolate the adjoint
+    algebra (edge masks, roll directions, z-halo masking) from bf16 noise;
+    the bf16-operand form is covered by test_routed_custom_vjp_grads."""
+    from medseg.kernels.conv_of import (
+        conv3x3x3_wgrad_of,
+        to_output_form,
+        wgrad_to_kernel,
+    )
+
+    x, kern, g = data
+    _, vjp = jax.vjp(_xla_conv, x, kern)
+    _, dk_ref = vjp(g)
+
+    b, d, h, w, ci = x.shape
+    co = g.shape[-1]
+    x_of = to_output_form(x, dtype=jnp.float32)
+    g_of = g.transpose(0, 1, 4, 2, 3).reshape(b, d, co, h * w)
+    dw = conv3x3x3_wgrad_of(x_of, g_of, h=h, w=w, interpret=True)
+    dk = wgrad_to_kernel(dw, ci, co)
+    np.testing.assert_allclose(
+        np.asarray(dk), np.asarray(dk_ref), rtol=2e-4,
+        atol=2e-4 * float(np.abs(dk_ref).max()),
+    )
+
+
+def test_of_wgrad_helper_matches_bf16_oracle(data):
+    """The bf16 _of_wgrad (the routed bwd's filter grad) vs _conv_dk(bf16)."""
+    x, kern, g = data
+    dk_ref = _conv_dk(x, g, jnp.bfloat16)
+    dk = conv3d._of_wgrad(x, g, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dk, np.float32), np.asarray(dk_ref, np.float32),
+        rtol=0.02, atol=0.02 * float(np.abs(np.asarray(dk_ref)).max()),
+    )
