@@ -274,8 +274,34 @@ def conv3x3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return _xla_conv(x, kernel)
 
 
+# Interpret-mode switch for the routed custom-VJP path (CPU tests force
+# routing on and flip this; the env knob is for ad-hoc debugging).
+INTERPRET = _os.environ.get("MEDSEG_CONV_INTERPRET", "0") == "1"
+
+
 def _fwd(x, kernel):
+    if _route_of(x, kernel):
+        # Save x in OF-FORM: the bwd's wgrad kernel consumes it directly, so
+        # neither fwd output nor bwd re-pays the NDHWC->of relayout of x.
+        from medseg.kernels import conv_of
+
+        b, d, h, w, c = x.shape
+        cd = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+        x_of = conv_of.to_output_form(x, dtype=cd)
+        return _of_conv_from_of(x_of, kernel, h, w, INTERPRET), (x_of, kernel)
     return conv3x3x3(x, kernel), (x, kernel)
+
+
+def _of_conv_from_of(x_of, kernel, h: int, w: int, interpret: bool = False):
+    from medseg.kernels import conv_of
+
+    b, _, c, _ = x_of.shape
+    z = jnp.zeros((b, c, 1), jnp.float32)
+    y_of, _, _ = conv_of.conv3x3x3_of(
+        x_of, weight_matrix(kernel, x_of.dtype), z, z, h=h, w=w,
+        input_act="none", out_dtype=jnp.float32, interpret=interpret,
+    )
+    return conv_of.from_output_form(y_of, h, w)
 
 
 def _of_wgrad(x: jax.Array, g: jax.Array, interpret: bool = False) -> jax.Array:
@@ -299,27 +325,39 @@ WGRAD = _os.environ.get("MEDSEG_WGRAD", "of")
 
 
 def _bwd(res, g):
-    x, kernel = res
-    if _route_of(x, kernel):
-        # TPU training path: bwd-data through the of-form Pallas kernel
-        # (flipped-transposed weights); filter grad through the of-form
-        # wgrad kernel (MEDSEG_WGRAD=xla restores the explicit bf16 XLA
-        # conv of _conv_dk, which is exact-but-slow: probe_convbwd.py).
-        dx = _conv_dx(g, kernel)
+    xres, kernel = res
+    if xres.ndim == 4:
+        # Routed path (residual is of-form). ONE to_output_form of the
+        # cotangent feeds both the bwd-data conv (flipped-transposed
+        # weights) and the Pallas wgrad kernel (MEDSEG_WGRAD=xla restores
+        # the explicit bf16 XLA conv of _conv_dk: exact-but-slow,
+        # probe_convbwd.py).
+        from medseg.kernels import conv_of
+
+        b, d, h, w, co = g.shape
+        cd = jnp.bfloat16
+        g_of = conv_of.to_output_form(g, dtype=cd)
+        kflip = jnp.flip(kernel, axis=(0, 1, 2)).swapaxes(3, 4)
+        dx = _of_conv_from_of(g_of, kflip.astype(cd), h, w, INTERPRET)
+        c_in = xres.shape[2]
         if WGRAD == "of":
-            dk = _of_wgrad(x, g)
+            dw = conv_of.conv3x3x3_wgrad_of(
+                xres, g_of, h=h, w=w, interpret=INTERPRET
+            )
+            dk = conv_of.wgrad_to_kernel(dw, c_in, co)
         else:
+            x = conv_of.from_output_form(xres, h, w)
             dk = _conv_dk(x, g, jnp.bfloat16)
-        return dx.astype(x.dtype), dk.astype(kernel.dtype)
+        return dx.astype(xres.dtype), dk.astype(kernel.dtype)
     # Backward through the mathematically-identical XLA conv in fp32
     # (correct by construction; XLA's conv transpose rules don't handle
     # mixed-precision cotangents with preferred_element_type), cast back to
     # the parameter dtypes. Not the inference hot path.
     _, vjp = jax.vjp(
-        _xla_conv, x.astype(jnp.float32), kernel.astype(jnp.float32)
+        _xla_conv, xres.astype(jnp.float32), kernel.astype(jnp.float32)
     )
     dx, dk = vjp(g.astype(jnp.float32))
-    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+    return dx.astype(xres.dtype), dk.astype(kernel.dtype)
 
 
 conv3x3x3.defvjp(_fwd, _bwd)

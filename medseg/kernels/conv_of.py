@@ -913,7 +913,7 @@ def _wgrad_kernel(
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
 def conv3x3x3_wgrad_of(
     x: jax.Array,  # output-form (B, D + 2*DPAD, C, H*W) compact
-    g: jax.Array,  # cotangent (B, D, CO, H*W) compact, no DPAD rows
+    g: jax.Array,  # cotangent (B, D [+ 2*DPAD], CO, H*W) compact
     *,
     h: int,
     w: int,
@@ -922,12 +922,15 @@ def conv3x3x3_wgrad_of(
     """dL/dW of ``conv3x3x3_of(input_act="none")`` in ``weight_matrix``
     layout (3*CO, 9*C) fp32. Training use: replaces the XLA filter-grad conv
     (``conv3d._conv_dk``) whose (CDHWN x IDHWO) lowering runs at ~5.6 TF/s
-    on the 16-channel full-res shapes (benchmarks/trace_train.py)."""
+    on the 16-channel full-res shapes (benchmarks/trace_train.py). ``g``
+    may arrive DPAD-padded (a ``to_output_form`` result shared with the
+    bwd-data conv) — the guard rows are simply never read."""
     bsz, dp, c, lo = x.shape
     d = dp - 2 * DPAD
     assert lo == h * w, "wgrad kernel: compact lane convention only"
     _, dg, c_out, log = g.shape
-    assert (dg, log) == (d, lo), (g.shape, x.shape)
+    g_dpad = DPAD if dg == dp else 0
+    assert (dg, log) == (d + 2 * g_dpad, lo), (g.shape, x.shape)
     zb = _zb_for(d, c)
     manual = _manual_fetch_on() and c >= 8
     x_spec = (
@@ -947,7 +950,10 @@ def conv3x3x3_wgrad_of(
         grid=(bsz, d // zb),
         in_specs=[
             x_spec,
-            pl.BlockSpec((1, zb, c_out, lo), lambda bb, z: (bb, z, 0, 0)),
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(zb), pl.Element(c_out), pl.Element(lo)),
+                lambda bb, z: (bb, g_dpad + z * zb, 0, 0),
+            ),
         ],
         out_specs=pl.BlockSpec((3 * c_out, 9 * c), lambda bb, z: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((3 * c_out, 9 * c), jnp.float32),

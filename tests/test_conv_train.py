@@ -55,13 +55,7 @@ def test_routed_custom_vjp_grads(data, monkeypatch):
     (interpret-mode Pallas), vs the fp32 XLA vjp."""
     x, kern, _ = data
     monkeypatch.setattr(conv3d, "_route_of", lambda xx, kk, interpret=False: True)
-    monkeypatch.setattr(
-        conv3d, "_of_conv", lambda xx, kk, interpret=False: _of_conv(xx, kk, True)
-    )
-    wgrad_orig = conv3d._of_wgrad
-    monkeypatch.setattr(
-        conv3d, "_of_wgrad", lambda xx, gg, interpret=False: wgrad_orig(xx, gg, True)
-    )
+    monkeypatch.setattr(conv3d, "INTERPRET", True)
 
     def loss(fn):
         def f(xx, kk):
