@@ -39,21 +39,26 @@ def main():
     spec = SlidingWindowSpec(roi=(ROI,) * 3, overlap=0.5, mode="gaussian")
     volume = 0.3 + 0.2 * jax.random.normal(jax.random.key(1), VOL + (1,), jnp.float32)
 
-    # trivial predictor: 1->K16 broadcast of the input voxel, pp windows
-    kvec = jnp.linspace(0.5, 1.5, 16, dtype=jnp.float32)
+    # trivial predictor: 1->K16 broadcast of the input voxel, pp windows.
+    # OPT-IN (ZROW_GLUE_TRIVIAL=1): with no real model in the walk, XLA's
+    # buffer assignment keeps whole scan-stacked stages live and the compile
+    # OOMs at 512^3 (21.5GB allocation) — use benchmarks/trace_zrow.py's
+    # profiler rollup for glue attribution instead (ground truth).
+    if os.environ.get("ZROW_GLUE_TRIVIAL", "0") == "1":
+        kvec = jnp.linspace(0.5, 1.5, 16, dtype=jnp.float32)
 
-    def trivial_apply(params, wins, wgt):
-        out = (wins * wgt).astype(jnp.bfloat16) * kvec.astype(jnp.bfloat16)
-        return ndhwc_to_pp_windows(out)
+        def trivial_apply(params, wins, wgt):
+            out = (wins * wgt).astype(jnp.bfloat16) * kvec.astype(jnp.bfloat16)
+            return ndhwc_to_pp_windows(out)
 
-    t_glue = vol_reps(
-        lambda v: swi_zrow.sliding_window_inference_zrow(
-            None, v, trivial_apply, K, spec
-        ),
-        volume,
-    )
-    print(f"glue-only (trivial predictor): {t_glue*1e3:.1f} ms/vol "
-          f"({t_glue/300*1e3:.3f} ms/window)", flush=True)
+        t_glue = vol_reps(
+            lambda v: swi_zrow.sliding_window_inference_zrow(
+                None, v, trivial_apply, K, spec
+            ),
+            volume,
+        )
+        print(f"glue-only (trivial predictor): {t_glue*1e3:.1f} ms/vol "
+              f"({t_glue/300*1e3:.3f} ms/window)", flush=True)
 
     # model-only at the walk's batch (g*n_w = 6 at config 4)
     model = unetr_b16(1, K, ROI, dtype=jnp.bfloat16)
