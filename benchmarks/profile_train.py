@@ -52,13 +52,13 @@ def main():
     img = jax.random.normal(jax.random.key(2), (B, ROI, ROI, ROI, 1), jnp.float32)
     lab = jax.random.randint(jax.random.key(3), (B, ROI, ROI, ROI), 0, K)
 
-    for remat in (True, False):
+    for remat in (True, "lowres", False):
         model = unetr_b16(1, K, ROI, dtype=jnp.bfloat16, remat=remat)
         state = create_train_state(
             model, rng=jax.random.key(0), sample_input=img[:1],
             learning_rate=1e-4, weight_decay=1e-5,
         )
-        tag = "remat" if remat else "noremat"
+        tag = {True: "remat", "lowres": "lowres", False: "noremat"}[remat]
 
         def loss_fn(params, model=model):
             logits = model.apply(params, img, return_encoder_features=False)
@@ -71,6 +71,8 @@ def main():
 
         step = make_train_step(model, task="ct", donate=False)
         timeit(f"full step ({tag})", lambda s=state: step(s, {"image": img, "label": lab}))
+        if remat == "lowres":
+            continue
 
         grads_fn = jax.jit(jax.grad(loss_fn))
         timeit(f"grads only ({tag})", lambda s=state: grads_fn(s.params))

@@ -361,3 +361,97 @@ def _bwd(res, g):
 
 
 conv3x3x3.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Of-form-IO conv: the block-level training fast path.
+#
+# ``conv3x3x3`` pays an NDHWC<->of-form relayout round trip per conv (fwd:
+# to_output_form + from_output_form; bwd: the same for the cotangent/dx) —
+# ~47 ms of the 148 ms train step at 4x96^3 (benchmarks/trace_train.py).
+# ``conv3x3x3_ofio`` keeps BOTH operands and results in compact of-form
+# (B, D + 2*DPAD, C, H*W) so a whole conv-norm-act block (models/blocks.py
+# of-path) converts once at block entry/exit instead of once per conv.
+#
+# Guard-row contract: of-form tensors carry DPAD undefined guard rows. The
+# kernels never read them un-masked and never write them, so this wrapper
+# zeroes the guard rows of every kernel OUTPUT (two 1-row writes, not a full
+# pass). With that, every forward value is finite, elementwise jnp ops
+# (norm/leaky) between convs are autodiff-exact, and no garbage can reach
+# parameter gradients: the only cross-row reductions (instance-norm stats)
+# slice the valid rows, so guard rows carry zero cotangent.
+# ---------------------------------------------------------------------------
+
+
+def _zero_guard_rows(y: jax.Array) -> jax.Array:
+    from medseg.kernels.conv_of import DPAD
+
+    y = jax.lax.dynamic_update_slice_in_dim(
+        y, jnp.zeros((y.shape[0], DPAD) + y.shape[2:], y.dtype), 0, axis=1
+    )
+    return jax.lax.dynamic_update_slice_in_dim(
+        y,
+        jnp.zeros((y.shape[0], DPAD) + y.shape[2:], y.dtype),
+        y.shape[1] - DPAD,
+        axis=1,
+    )
+
+
+def _ofio_impl(x_of: jax.Array, kernel: jax.Array, h: int, w: int) -> jax.Array:
+    from medseg.kernels import conv_of
+
+    b, _, c, _ = x_of.shape
+    z = jnp.zeros((b, c, 1), jnp.float32)
+    y, _, _ = conv_of.conv3x3x3_of(
+        x_of, weight_matrix(kernel, x_of.dtype), z, z, h=h, w=w,
+        input_act="none", out_dtype=x_of.dtype, interpret=INTERPRET,
+    )
+    return _zero_guard_rows(y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3x3x3_ofio(x_of: jax.Array, kernel: jax.Array, h: int, w: int) -> jax.Array:
+    """3x3x3 stride-1 same-pad conv with of-form input AND output.
+
+    x_of: compact of-form (B, D + 2*DPAD, C, H*W); kernel (3, 3, 3, C, CO).
+    Returns (B, D + 2*DPAD, CO, H*W) in x_of's dtype (fp32 MXU accumulation,
+    one rounding — same numerics class as ``conv3x3x3(...).astype(dtype)``),
+    guard rows zeroed.
+    """
+    return _ofio_impl(x_of, kernel, h, w)
+
+
+def _ofio_fwd(x_of, kernel, h, w):
+    return _ofio_impl(x_of, kernel, h, w), (x_of, kernel)
+
+
+def _ofio_bwd(h, w, res, g):
+    from medseg.kernels import conv_of
+
+    x_of, kernel = res
+    cd = jnp.bfloat16 if x_of.dtype == jnp.bfloat16 else x_of.dtype
+    g_of = g.astype(cd)
+    kflip = jnp.flip(kernel, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = _ofio_impl(g_of, kflip.astype(cd), h, w)
+    c_in, co = x_of.shape[2], g.shape[2]
+    if WGRAD == "of":
+        dw = conv_of.conv3x3x3_wgrad_of(
+            x_of.astype(cd), g_of, h=h, w=w, interpret=INTERPRET
+        )
+        dk = conv_of.wgrad_to_kernel(dw, c_in, co)
+    else:
+        dk = _conv_dk(
+            conv_of.from_output_form(x_of, h, w),
+            conv_of.from_output_form(g, h, w),
+            jnp.bfloat16,
+        )
+    return dx.astype(x_of.dtype), dk.astype(kernel.dtype)
+
+
+conv3x3x3_ofio.defvjp(_ofio_fwd, _ofio_bwd)
+
+
+def train_of_active() -> bool:
+    """Whether the of-form training routing is live for this process
+    (the block-level of-path in models/blocks.py keys off this + shape)."""
+    return TRAIN_CONV == "of" and (INTERPRET or jax.default_backend() == "tpu")

@@ -48,20 +48,31 @@ class InstanceNorm(nn.Module):
     Matches ``torch.nn.InstanceNorm3d(C, affine=True)`` as instantiated by
     MONAI's ``get_norm_layer(..., "instance")`` (affine=True, eps=1e-5,
     no running stats). Input is NDHWC; statistics are computed over the
-    spatial axes only.
+    spatial axes only. With ``of=True`` the input is compact of-form
+    (B, D + 2*DPAD, C, H*W): stats come from the sliced valid rows (so the
+    DPAD guard rows carry zero cotangent), the affine applies to all rows.
     """
 
     epsilon: float = NORM_EPS
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
+    def __call__(self, x: jax.Array, *, of: bool = False) -> jax.Array:
+        c = x.shape[2] if of else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        spatial_axes = tuple(range(1, x.ndim - 1))
         # Statistics in fp32 for stability even when activations are bf16.
         xf = x.astype(jnp.float32)
+        if of:
+            from medseg.kernels.conv_of import DPAD
+
+            valid = xf[:, DPAD : x.shape[1] - DPAD]
+            mean = jnp.mean(valid, axis=(1, 3), keepdims=True)
+            var = jnp.mean(jnp.square(valid - mean), axis=(1, 3), keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+            y = y * scale[:, None] + bias[:, None]
+            return y.astype(x.dtype)
+        spatial_axes = tuple(range(1, x.ndim - 1))
         mean = jnp.mean(xf, axis=spatial_axes, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=spatial_axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
@@ -72,17 +83,22 @@ class InstanceNorm(nn.Module):
 class _FastConv3(nn.Module):
     """3x3x3 stride-1 conv routed through the Pallas flat-lane kernel on TPU
     (medseg/kernels/conv3d.py) with an exact XLA fallback elsewhere. Parameter
-    names/shapes identical to ``nn.Conv`` so checkpoints are interchangeable."""
+    names/shapes identical to ``nn.Conv`` so checkpoints are interchangeable.
+
+    With ``ofhw=(h, w)`` the input is compact of-form (B, D + 2*DPAD, C, H*W)
+    and the output stays in of-form — the block-level training fast path
+    (``conv3x3x3_ofio``): no NDHWC<->of relayouts around the conv.
+    """
 
     features: int
     use_bias: bool = True
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        from medseg.kernels.conv3d import conv3x3x3
+    def __call__(self, x: jax.Array, *, ofhw: tuple[int, int] | None = None) -> jax.Array:
+        from medseg.kernels.conv3d import conv3x3x3, conv3x3x3_ofio
 
-        in_ch = x.shape[-1]
+        in_ch = x.shape[2] if ofhw is not None else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -90,10 +106,47 @@ class _FastConv3(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        y = conv3x3x3(x.astype(dtype), kernel.astype(dtype)).astype(dtype)
+        if ofhw is not None:
+            h, w = ofhw
+            y = conv3x3x3_ofio(x.astype(dtype), kernel.astype(dtype), h, w)
+        else:
+            y = conv3x3x3(x.astype(dtype), kernel.astype(dtype)).astype(dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + bias.astype(dtype)
+            if ofhw is not None:
+                y = y + bias.astype(dtype)[:, None]
+            else:
+                y = y + bias.astype(dtype)
+        return y
+
+
+class _FastConv1(nn.Module):
+    """1x1x1 conv on a compact of-form tensor (B, D + 2*DPAD, C, H*W): one
+    channel matmul over sublanes. Parameter names/shapes identical to
+    ``nn.Conv(features, (1, 1, 1))`` so checkpoints are interchangeable."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x_of: jax.Array) -> jax.Array:
+        in_ch = x_of.shape[2]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, 1, in_ch, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x_of.dtype
+        w = kernel.reshape(in_ch, self.features).astype(dtype)
+        y = jnp.einsum(
+            "co,bzcl->bzol", w, x_of.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)[:, None]
         return y
 
 
@@ -107,8 +160,24 @@ class Conv3d(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, ofhw: tuple[int, int] | None = None) -> jax.Array:
         k = self.kernel_size
+        if ofhw is not None:
+            assert self.stride == 1, "of-form path is stride-1 only"
+            if k == 1:
+                return _FastConv1(
+                    features=self.features,
+                    use_bias=self.use_bias,
+                    dtype=self.dtype,
+                    name="conv",
+                )(x)
+            assert k == 3
+            return _FastConv3(
+                features=self.features,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x, ofhw=ofhw)
         if k == 3 and self.stride == 1:
             return _FastConv3(
                 features=self.features,
@@ -155,6 +224,22 @@ class ConvTranspose3d(nn.Module):
         )(x)
 
 
+def _of_block_route(x: jax.Array, features: int, kernel_size: int, stride: int) -> bool:
+    """Route a whole conv block through the of-form layout (one NDHWC<->of
+    relayout per block instead of per conv — the per-conv round trips cost
+    ~47 ms of the 148 ms train step at 4x96^3, benchmarks/trace_train.py).
+    Same kernels as the per-conv ``conv3x3x3`` routing, so the same shape
+    predicate applies to both convs of the block."""
+    from medseg.kernels import conv3d
+
+    if kernel_size != 3 or stride != 1 or not conv3d.train_of_active():
+        return False
+    b, d, h, w, _ = x.shape
+    return conv3d._of_ok(x.shape, features) and conv3d._of_ok(
+        (b, d, h, w, features), features
+    )
+
+
 class UnetResBlock(nn.Module):
     """Residual conv block: (conv-norm-lrelu, conv-norm) + projected residual."""
 
@@ -166,6 +251,24 @@ class UnetResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
+        if _of_block_route(x, self.features, self.kernel_size, self.stride):
+            from medseg.kernels import conv_of
+
+            _, _, h, w, _ = x.shape
+            dtype = self.dtype or x.dtype
+            x_of = conv_of.to_output_form(x.astype(dtype))
+            y = Conv3d(self.features, 3, 1, dtype=self.dtype, name="conv1")(x_of, ofhw=(h, w))
+            y = InstanceNorm(dtype=self.dtype, name="norm1")(y, of=True)
+            y = leaky_relu(y)
+            y = Conv3d(self.features, 3, 1, dtype=self.dtype, name="conv2")(y, ofhw=(h, w))
+            y = InstanceNorm(dtype=self.dtype, name="norm2")(y, of=True)
+            if in_ch != self.features:
+                r = Conv3d(self.features, 1, 1, dtype=self.dtype, name="conv3")(x_of, ofhw=(h, w))
+                r = InstanceNorm(dtype=self.dtype, name="norm3")(r, of=True)
+            else:
+                r = x_of
+            y = leaky_relu(y + r)
+            return conv_of.from_output_form(y, h, w).astype(x.dtype)
         y = Conv3d(self.features, self.kernel_size, self.stride, dtype=self.dtype, name="conv1")(x)
         y = InstanceNorm(dtype=self.dtype, name="norm1")(y)
         y = leaky_relu(y)
@@ -189,6 +292,19 @@ class UnetBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if _of_block_route(x, self.features, self.kernel_size, self.stride):
+            from medseg.kernels import conv_of
+
+            _, _, h, w, _ = x.shape
+            dtype = self.dtype or x.dtype
+            x_of = conv_of.to_output_form(x.astype(dtype))
+            y = Conv3d(self.features, 3, 1, dtype=self.dtype, name="conv1")(x_of, ofhw=(h, w))
+            y = InstanceNorm(dtype=self.dtype, name="norm1")(y, of=True)
+            y = leaky_relu(y)
+            y = Conv3d(self.features, 3, 1, dtype=self.dtype, name="conv2")(y, ofhw=(h, w))
+            y = InstanceNorm(dtype=self.dtype, name="norm2")(y, of=True)
+            y = leaky_relu(y)
+            return conv_of.from_output_form(y, h, w).astype(x.dtype)
         y = Conv3d(self.features, self.kernel_size, self.stride, dtype=self.dtype, name="conv1")(x)
         y = InstanceNorm(dtype=self.dtype, name="norm1")(y)
         y = leaky_relu(y)

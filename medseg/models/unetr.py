@@ -57,7 +57,15 @@ class UNETR(nn.Module):
     conv_block: bool = False
     dropout_rate: float = 0.0
     dtype: Dtype | None = None
-    remat: bool = False  # checkpoint encoder/decoder stages (training memory)
+    # Rematerialization of encoder/decoder stages (training memory/time):
+    #   True / "all": checkpoint every stage (lowest memory; bwd re-runs the
+    #     expensive full-resolution convs);
+    #   "lowres": checkpoint only the ViT + <= 24^3 stages whose recompute is
+    #     cheap, SAVE the full-resolution activations (enc1 / decoder3 /
+    #     decoder2 at crop 96) — ~1.5 GB more HBM at batch 4, skips the
+    #     costly part of the remat re-forward in the backward pass;
+    #   False: no checkpointing (OOMs at batch 4 x 96^3 on 16 GB).
+    remat: bool | str = False
 
     def setup(self):
         if not 0 <= self.dropout_rate <= 1:
@@ -74,12 +82,15 @@ class UNETR(nn.Module):
             patch_size=p,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
-            remat=self.remat,
+            remat=bool(self.remat),
         )
         fs = self.feature_size
-        basic = nn.remat(UnetrBasicBlock) if self.remat else UnetrBasicBlock
-        prup = nn.remat(UnetrPrUpBlock) if self.remat else UnetrPrUpBlock
-        up = nn.remat(UnetrUpBlock) if self.remat else UnetrUpBlock
+        remat_all = self.remat in (True, "all")
+        remat_low = remat_all or self.remat == "lowres"
+        basic = nn.remat(UnetrBasicBlock) if remat_all else UnetrBasicBlock
+        prup = nn.remat(UnetrPrUpBlock) if remat_low else UnetrPrUpBlock
+        up_low = nn.remat(UnetrUpBlock) if remat_low else UnetrUpBlock
+        up_full = nn.remat(UnetrUpBlock) if remat_all else UnetrUpBlock
         self.encoder1 = basic(fs, res_block=self.res_block, dtype=self.dtype)
         self.encoder2 = prup(
             fs * 2, num_layer=2, conv_block=self.conv_block, res_block=self.res_block, dtype=self.dtype
@@ -90,10 +101,10 @@ class UNETR(nn.Module):
         self.encoder4 = prup(
             fs * 8, num_layer=0, conv_block=self.conv_block, res_block=self.res_block, dtype=self.dtype
         )
-        self.decoder5 = up(fs * 8, res_block=self.res_block, dtype=self.dtype)
-        self.decoder4 = up(fs * 4, res_block=self.res_block, dtype=self.dtype)
-        self.decoder3 = up(fs * 2, res_block=self.res_block, dtype=self.dtype)
-        self.decoder2 = up(fs, res_block=self.res_block, dtype=self.dtype)
+        self.decoder5 = up_low(fs * 8, res_block=self.res_block, dtype=self.dtype)
+        self.decoder4 = up_low(fs * 4, res_block=self.res_block, dtype=self.dtype)
+        self.decoder3 = up_full(fs * 2, res_block=self.res_block, dtype=self.dtype)
+        self.decoder2 = up_full(fs, res_block=self.res_block, dtype=self.dtype)
         self.out = UnetOutBlock(self.out_channels, dtype=self.dtype)
 
     def proj_feat(self, tokens: jax.Array) -> jax.Array:
@@ -146,7 +157,8 @@ class UNETR(nn.Module):
 
 
 def unetr_b16(
-    in_channels: int, out_channels: int, crop_size: int, dtype=None, remat: bool = False
+    in_channels: int, out_channels: int, crop_size: int, dtype=None,
+    remat: bool | str = False,
 ) -> UNETR:
     """The one configuration every reference run uses: ViT-B, feature_size 16
     (`/root/reference/unetr_segmentation_3d.py:501-513`)."""

@@ -123,3 +123,86 @@ def test_of_wgrad_helper_matches_bf16_oracle(data):
         np.asarray(dk, np.float32), np.asarray(dk_ref, np.float32),
         rtol=0.02, atol=0.02 * float(np.abs(np.asarray(dk_ref)).max()),
     )
+
+
+class TestOfBlockPath:
+    """Block-level of-form training path (models/blocks.py _of_block_route):
+    value + grad parity of the of-form UnetResBlock/UnetBasicBlock forward
+    against the plain NDHWC path with the SAME parameters."""
+
+    @staticmethod
+    def _force_of(monkeypatch, on: bool):
+        monkeypatch.setattr(conv3d, "INTERPRET", True)
+        monkeypatch.setattr(conv3d, "train_of_active", lambda: on)
+
+    @staticmethod
+    def _mk(in_ch, features, res=True):
+        from medseg.models.blocks import UnetBasicBlock, UnetResBlock
+
+        blk = (UnetResBlock if res else UnetBasicBlock)(features)
+        x = jax.random.normal(jax.random.key(1), (1, 4, 48, 48, in_ch), jnp.float32)
+        params = blk.init(jax.random.key(2), x)
+        return blk, x, params
+
+    @pytest.mark.parametrize("in_ch,feat,res", [(8, 8, True), (16, 8, True), (8, 8, False)])
+    def test_block_value_parity(self, monkeypatch, in_ch, feat, res):
+        blk, x, params = self._mk(in_ch, feat, res)
+        self._force_of(monkeypatch, False)
+        ref = blk.apply(params, x)
+        self._force_of(monkeypatch, True)
+        got = blk.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4,
+            atol=1e-4 * float(np.abs(np.asarray(ref)).max()),
+        )
+
+    @pytest.mark.parametrize("in_ch,feat", [(8, 8), (16, 8)])
+    def test_block_grad_parity(self, monkeypatch, in_ch, feat):
+        blk, x, params = self._mk(in_ch, feat)
+
+        def loss(p, xx):
+            return jnp.sum(jnp.square(blk.apply(p, xx)))
+
+        self._force_of(monkeypatch, False)
+        gp_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+        self._force_of(monkeypatch, True)
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+
+        np.testing.assert_allclose(
+            np.asarray(gx), np.asarray(gx_ref), rtol=5e-3,
+            atol=5e-3 * float(np.abs(np.asarray(gx_ref)).max()),
+        )
+        flat_ref = jax.tree_util.tree_leaves_with_path(gp_ref)
+        flat = dict(jax.tree_util.tree_leaves_with_path(gp))
+        # conv-bias grads are analytically ~0 (InstanceNorm cancels a bias
+        # shift) so both paths produce noise there — floor the atol by the
+        # global gradient scale instead of the per-tensor max.
+        gscale = max(
+            float(np.abs(np.asarray(r, np.float32)).max()) for _, r in flat_ref
+        )
+        for path, ref in flat_ref:
+            got = flat[path]
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=5e-3, atol=1e-3 * gscale,
+                err_msg=str(path),
+            )
+
+    def test_grads_are_finite_and_guard_rows_zero(self, monkeypatch):
+        """The DPAD guard-row contract: conv outputs have zeroed guard rows
+        and the custom vjp returns zero cotangent there (no NaN leaks)."""
+        from medseg.kernels.conv_of import DPAD, to_output_form
+
+        monkeypatch.setattr(conv3d, "INTERPRET", True)
+        x = jax.random.normal(jax.random.key(3), (1, 4, 48, 48, 8), jnp.float32)
+        kern = jax.random.normal(jax.random.key(4), (3, 3, 3, 8, 8), jnp.float32) * 0.2
+        x_of = to_output_form(x)
+        y = conv3d.conv3x3x3_ofio(x_of, kern, 48, 48)
+        assert bool(jnp.all(y[:, :DPAD] == 0)) and bool(jnp.all(y[:, -DPAD:] == 0))
+
+        def f(xx, kk):
+            return jnp.sum(jnp.square(conv3d.conv3x3x3_ofio(xx, kk, 48, 48)))
+
+        gx, gk = jax.grad(f, argnums=(0, 1))(x_of, kern)
+        assert bool(jnp.all(jnp.isfinite(gx))) and bool(jnp.all(jnp.isfinite(gk)))
+        assert bool(jnp.all(gx[:, :DPAD] == 0)) and bool(jnp.all(gx[:, -DPAD:] == 0))
