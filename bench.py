@@ -212,6 +212,7 @@ def main() -> None:
             ("2_spleen_finetune_step", lambda: _train_step_throughput(2, 2)),
             ("3_ranking_pretrain_step", _config3_pretrain),
             ("5_dp_virtual_mesh", _config5_dp_virtual),
+            ("6_pretrain_wallclock", _config6_pretrain_wallclock),
             ("train_btcv_step", lambda: _train_step_throughput(N_CLASSES, 4)),
         ):
             t0 = time.perf_counter()
@@ -330,6 +331,87 @@ def _config3_pretrain() -> dict:
     float(loss)
     dt = (time.perf_counter() - t0) / n
     return {"ms_per_step_feat": round(dt * 1e3, 1), "steps_per_sec": round(1 / dt, 2)}
+
+
+def _config6_pretrain_wallclock() -> dict:
+    """Two-stage (feat -> recon) ranking pretraining run to the reference
+    convergence rule on a synthetic dataset — the repo's wall-clock answer to
+    the paper's Table 1 (0.3 h Comp. vs 5.27 h Cont. on Task 9, 1x V100;
+    `unetr_ranking_pretraining_3d.py:238-296,527-601`, BASELINE.md).
+
+    Full-size UNETR-B/16 at 96^3 crops, batch 4 (2 volumes x 2 crops),
+    num_partitions=4, rtol=1e-2, window=10, max 250 epochs — the reference's
+    exact stage loop, minus NIfTI decode (synthetic device-resident crops) so
+    the number isolates the compute the paper's Table 1 measures.
+    """
+    from medseg.engine.pretrain import (
+        ConvergenceTracker,
+        feature_dim_for_axis,
+        make_pretrain_step,
+    )
+    from medseg.engine.state import create_train_state
+    from medseg.models.unetr import unetr_b16
+    from medseg.ops.ranking import sample_partition_indices
+
+    model = unetr_b16(1, 2, ROI, dtype=jnp.bfloat16, remat=True)
+    rng = np.random.default_rng(7)
+    # 8 synthetic unlabeled volumes -> 4 loader batches of 2 volumes x 2 crops
+    batches = [
+        jnp.asarray(rng.normal(0.3, 0.2, size=(4, ROI, ROI, ROI, 1)), jnp.float32)
+        for _ in range(4)
+    ]
+    state = create_train_state(
+        model, rng=jax.random.key(0), sample_input=batches[0][:1],
+        learning_rate=1e-4, weight_decay=1e-5,
+    )
+    out: dict = {}
+    total = 0.0
+    for arc in ("feat", "recon"):
+        step = make_pretrain_step(
+            model, update_arc=arc, loss_type="ranking",
+            num_partitions=4, temperature=0.1, donate=True,
+        )
+        # compile outside the clock (the reference pays no compile; steady-
+        # state is what Table 1's hours measure)
+        np_rng = np.random.default_rng(11)
+        for axis in (0, 1, 2):
+            dim = feature_dim_for_axis(ROI, arc, axis)
+            idx = jnp.asarray(sample_partition_indices(np_rng, dim, 4))
+            state, loss = step(state, batches[0], idx, axis=axis)
+        float(loss)
+        tracker = ConvergenceTracker(rtol=1e-2, window=10, max_iterations=250)
+        steps = 0
+        step_times: list[float] = []
+        stage_cap_s = float(os.environ.get("BENCH_PRETRAIN_CAP_S", "240"))
+        t_stage = time.perf_counter()
+        while not tracker.converged:
+            if time.perf_counter() - t_stage > stage_cap_s:
+                out[f"{arc}_capped"] = True  # convergence-rule run time-boxed
+                break
+            axis_losses = []
+            for axis in (0, 1, 2):
+                dim = feature_dim_for_axis(ROI, arc, axis)
+                axis_loss = 0.0
+                for b in batches:
+                    idx = jnp.asarray(sample_partition_indices(np_rng, dim, 4))
+                    t0 = time.perf_counter()
+                    state, loss = step(state, b, idx, axis=axis)
+                    axis_loss += float(loss)  # blocks, like the reference
+                    step_times.append(time.perf_counter() - t0)
+                    steps += 1
+                axis_losses.append(axis_loss / len(batches))
+            tracker.update(float(np.mean(axis_losses)))
+        stage_s = time.perf_counter() - t_stage
+        total += stage_s
+        out[f"{arc}_seconds"] = round(stage_s, 1)
+        out[f"{arc}_epochs"] = tracker.iterations
+        out[f"{arc}_steps"] = steps
+        out[f"ms_per_step_{arc}"] = round(
+            1e3 * float(np.median(step_times)), 1
+        )
+    out["total_seconds"] = round(total, 1)
+    out["ref_table1_task9_hours"] = {"comparative": 0.3, "contrastive": 5.27}
+    return out
 
 
 def _config5_dp_virtual() -> dict:

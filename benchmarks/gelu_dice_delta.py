@@ -49,7 +49,7 @@ def cli_args(data_dir, results_dir, mode):
 def run(cmd, extra_env):
     env = dict(os.environ, **CACHE_ENV, **extra_env)
     print(f"$ MEDSEG_FAST_GELU={extra_env.get('MEDSEG_FAST_GELU', '?')} "
-          f"{' '.join(cmd[2:6])} ... {cmd[7]}", flush=True)
+          f"{' '.join(cmd[2:6])} ... {cmd[8]}", flush=True)
     subprocess.run(cmd, check=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -83,12 +83,19 @@ def main():
     if not os.path.exists(os.path.join(data_dir, "OrganCT", "dataset.json")):
         from tests.test_tpu_learning import make_organ_dataset
         import pathlib
+        import shutil
+        # a partially built dataset from an interrupted run (imagesTr present,
+        # dataset.json missing) would crash make_organ_dataset's mkdir
+        shutil.rmtree(os.path.join(data_dir, "OrganCT"), ignore_errors=True)
         os.makedirs(work, exist_ok=True)
         make_organ_dataset(pathlib.Path(work))
         print(f"built organ dataset under {data_dir}", flush=True)
 
+    # CheckpointManager.__init__ creates the bare "checkpoints" dir before any
+    # save; only a committed "best" subdir means a trained model exists (an
+    # eval against random-init params would report a meaningless delta)
     have_ckpt = any(
-        "checkpoints" in dirs or "checkpoints" in root
+        os.path.basename(root) == "checkpoints" and "best" in dirs
         for root, dirs, _ in os.walk(results_dir)
     )
     if not have_ckpt:
@@ -96,7 +103,7 @@ def main():
         train_metrics, _ = last_final_dice(results_dir)
         print(f"train-run final: dice={train_metrics['dice']:.5f}", flush=True)
     else:
-        print("checkpoint exists; skipping training", flush=True)
+        print("best checkpoint exists; skipping training", flush=True)
 
     dice = {}
     for flag in ("0", "1"):
@@ -108,6 +115,10 @@ def main():
               f"per_class={metrics['dice_per_class']}", flush=True)
 
     d0, d1 = dice["0"]["dice"], dice["1"]["dice"]
+    # sanity floor: a fresh 150-step run on this fixture reaches Dice ~0.95;
+    # anything near random-init means the restore went wrong and the delta
+    # would be meaningless noise
+    assert d0 >= 0.5, f"exact-GELU eval Dice {d0:.4f} < 0.5 — restored model untrained?"
     print(json.dumps({
         "dice_exact_gelu": d0,
         "dice_fast_gelu": d1,

@@ -1,9 +1,13 @@
 """Minimal hardware sweep: full train step, remat=True vs remat='lowres'.
 
-remat='lowres' (added with the block-level of-form training path) checkpoints
-only the ViT and the <=24^3 decoder stages, keeping the full-res conv
-activations live — trading HBM for skipping the most expensive part of the
-remat re-forward. This is the follow-up sweep the conv3d.py comment promises.
+remat='lowres' (added with the block-level of-form training path, see
+medseg/models/unetr.py remat-tier docstring) checkpoints only the ViT and the
+<=24^3 decoder stages, keeping the full-res conv activations live — trading
+HBM for skipping the most expensive part of the remat re-forward.
+
+Differs from benchmarks/profile_train.py (which also times both remat tiers
+as part of its full stage-by-stage trace): this is the minimal isolated A/B —
+just the two full-step timings, no tracing, for quick hardware re-checks.
 """
 
 import os

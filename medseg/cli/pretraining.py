@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-heads", type=int, default=12)
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--no-progress", action="store_true",
+                   help="disable the tqdm-style live step/loss readout")
     return p
 
 
@@ -89,17 +91,36 @@ def run_stage(
     )
     prefix = f"{update_arc}_lr_{args.learning_rate}_temp_{args.temperature}"
     ckpt = CheckpointManager(os.path.join(out_dir, prefix))
+    consumed_epochs = 0
     if ckpt.exists():
-        logger.write(f"{update_arc}: resuming from checkpoint")
         state = ckpt.restore(state)
+        # resume accounting (reference intent at
+        # `unetr_ranking_pretraining_3d.py:539-540`: decrement the remaining
+        # stage budget by the work already done — its literal code subtracts
+        # a variable that is always 0 there, a quirk PARITY.md documents):
+        # seed the tracker with the epochs consumed before the crash so a
+        # resumed stage never runs more than max_iterations epochs in total
+        consumed_epochs = int(ckpt.metadata().get("epoch", 0))
+        logger.write(
+            f"{update_arc}: resuming from checkpoint "
+            f"(step {int(state.step)}, {consumed_epochs} epochs consumed)"
+        )
 
     tracker = ConvergenceTracker(
         rtol=args.rtol, window=10, max_iterations=args.max_iterations
     )
+    tracker.iterations = consumed_epochs
     rng = np.random.default_rng(args.seed)
     epoch_losses: list[float] = []
     epoch_times: list[float] = []
     global_step = int(state.step)
+    bar = None
+    if not args.no_progress:
+        # live step readout mirroring the reference tqdm description
+        # (`unetr_ranking_pretraining_3d.py:243-246`)
+        from tqdm import tqdm
+
+        bar = tqdm(desc=f"{update_arc} Training (X Steps)", dynamic_ncols=True)
     while not tracker.converged:
         timer = StepTimer()
         axis_losses = []
@@ -118,8 +139,17 @@ def run_stage(
                 axis_loss += loss
                 n += 1
                 global_step += 1
+                if bar is not None:
+                    bar.set_description(
+                        f"{update_arc} Training ({global_step} Steps) "
+                        f"(loss={loss:2.5f}) (loss time={timer.times[-1]:2.5f})"
+                    )
+                    bar.update(1)
                 if global_step % args.eval_num == 0:
-                    ckpt.save(state, metrics={"loss": loss})
+                    ckpt.save(
+                        state,
+                        metrics={"loss": loss, "epoch": tracker.iterations},
+                    )
                     logger.write(
                         f"Model Was Saved At Global Step {global_step} for {update_arc}!"
                     )
@@ -133,7 +163,11 @@ def run_stage(
             f"{update_arc} epoch {tracker.iterations}: loss={epoch_loss:.5f} "
             f"time={timer.total:.2f}s"
         )
-    ckpt.save(state, block=True)  # final save: commit before returning
+    if bar is not None:
+        bar.close()
+    # final save: commit before returning (epoch count keeps the resume
+    # accounting correct if a crash lands between stages)
+    ckpt.save(state, metrics={"epoch": tracker.iterations}, block=True)
     plot_loss_vs_time(
         os.path.join(out_dir, f"{prefix}_loss_vs_time.png"), epoch_losses, epoch_times
     )

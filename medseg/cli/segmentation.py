@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the crop batch over all devices (config 5 path)")
     p.add_argument("--sw-overlap", type=float, default=0.25)
     p.add_argument("--sw-mode", type=str, default="constant", choices=["constant", "gaussian"])
+    p.add_argument("--save-latest-every", type=int, default=None,
+                   help="persist the full train state under 'latest' every N steps "
+                        "(elastic recovery: on restart the freshest of latest/best "
+                        "resumes with step+optimizer state intact)")
     p.add_argument("--sync-every", type=int, default=1,
                    help="fetch the loss every N steps (N>1 keeps steps in flight so "
                         "dispatch/loading/H2D overlap compute; 1 = honest per-step timing)")
@@ -217,8 +221,14 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
     # checkpoint I/O from host 0 only (params are replicated, so host 0's
     # copy is the global state; every host restores the same files)
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
-    if ckpt.exists():
-        logger.write("resuming from existing best checkpoint")
+    if args.mode == "train" and (ckpt.exists() or ckpt.exists("latest")):
+        # crash recovery: resume from whichever of latest/best is newer
+        # (a scheduled --save-latest-every save past the last best means the
+        # previous run died mid-interval)
+        state = ckpt.restore_freshest(state)
+        logger.write(f"resuming from checkpoint at step {int(state.step)}")
+    elif args.mode == "eval" and ckpt.exists():
+        logger.write("evaluating existing best checkpoint")
         state = ckpt.restore(state)
 
     if args.mode == "train":
@@ -248,6 +258,7 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
             ).mean_dice,
             checkpointer=ckpt if rank == 0 else None,
             log_fn=lambda msg: (print(msg), logger.write(msg)),
+            save_latest_every=args.save_latest_every,
             sync_every=args.sync_every,
             progress=progress,
         )

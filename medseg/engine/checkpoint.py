@@ -103,6 +103,28 @@ class CheckpointManager:
             rng=tree["rng"],
         )
 
+    def restore_freshest(self, state, *, prefer: str = "latest"):
+        """Restore whichever of "latest"/"best" has the greater step.
+
+        Elastic-recovery startup rule (SURVEY.md §5 failure-recovery row;
+        the reference's crude original reloads best-so-far weights and
+        resets the step, `unetr_segmentation_3d.py:612-615`): a scheduled
+        "latest" save that is NEWER than the best checkpoint means the run
+        crashed mid-interval — resume from it with full step/optimizer
+        state instead of replaying from the older best. Ties go to
+        ``prefer`` ("latest": identical steps mean the same state).
+        """
+        have = [n for n in ("best", "latest") if self.exists(n)]
+        if not have:
+            return state
+        if len(have) == 1:
+            return self.restore(state, name=have[0])
+        restored = {n: self.restore(state, name=n) for n in have}
+        steps = {n: int(restored[n].step) for n in have}
+        if steps["latest"] == steps["best"]:
+            return restored[prefer]
+        return restored[max(steps, key=steps.get)]
+
     def metadata(self) -> dict:
         if not os.path.exists(self._meta_path()):
             return {}
@@ -166,6 +188,12 @@ def _convert_key(key: str, v: np.ndarray):
         name = "kernel" if m.group(1) == "weight" else "bias"
         val = _linear_kernel(v) if name == "kernel" else v
         return ("vit", "patch_embedding", "proj", name), val
+    m = re.fullmatch(r"vit\.patch_embedding\.patch_embeddings\.(weight|bias)", key)
+    if m:
+        # pos_embed="conv": MONAI's patch_embeddings is a bare Conv3d
+        name = "kernel" if m.group(1) == "weight" else "bias"
+        val = _conv_kernel(v) if name == "kernel" else v
+        return ("vit", "patch_embedding", "proj_conv", name), val
     if key == "vit.patch_embedding.position_embeddings":
         return ("vit", "patch_embedding", "pos_embedding"), v
     m = re.fullmatch(r"vit\.blocks\.(\d+)\.norm([12])\.(weight|bias)", key)

@@ -134,11 +134,23 @@ class Validator:
         spec = spec or self.spec
         if self.mesh is not None:
             from medseg.ops.sliding_window import sliding_window_inference_sharded
+            from medseg.ops.swi_zrow import (
+                sliding_window_inference_zrow_sharded,
+                zrow_supported,
+            )
 
+            spatial = tuple(int(v) for v in image.shape[-4:-1])
+            if self._out_layout == "ppk" and zrow_supported(spatial, spec):
+                # mesh eval inherits the round-3 serving engine: d-slabs of
+                # the z-row walk sharded over the data axis, psum combine
+                return sliding_window_inference_zrow_sharded(
+                    params, image, self._apply_fn, self.n_classes, spec,
+                    self.mesh, acc_dtype=self._acc_dtype,
+                )
             apply_fn = self._apply_fn
             out_layout = self._out_layout
             if self._apply_takes_weight:
-                # the sharded path applies importance/normalization itself
+                # the sharded scatter applies importance/normalization itself
                 # (after the psum); feed a unit blend weight, and use the
                 # flat window form (ppk is a single-device scatter layout)
                 out_layout = "flatk" if out_layout == "ppk" else out_layout

@@ -56,7 +56,9 @@ def create_train_state(
 ) -> TrainState:
     init_rng, state_rng = jax.random.split(rng)
     if params is None:
-        params = model.init(init_rng, sample_input)
+        # jit: eager (op-by-op) init of the UNETR tree costs ~60s of pure
+        # dispatch overhead on CPU vs ~3s compiled — and params are tiny
+        params = jax.jit(model.init)(init_rng, sample_input)
     tx = adamw(learning_rate, weight_decay)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

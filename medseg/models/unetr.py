@@ -53,6 +53,10 @@ class UNETR(nn.Module):
     num_heads: int = 12
     num_layers: int = 12
     patch_size: int = 16
+    # ctor surface the reference accepts (`/root/reference/unetr.py:36-37,66-67`);
+    # every reference run uses "perceptron" + "instance"
+    pos_embed: str = "perceptron"
+    norm_name: str = "instance"
     res_block: bool = True
     conv_block: bool = False
     dropout_rate: float = 0.0
@@ -72,6 +76,21 @@ class UNETR(nn.Module):
             raise ValueError("dropout_rate should be between 0 and 1.")
         if self.hidden_size % self.num_heads != 0:
             raise ValueError("hidden size should be divisible by num_heads.")
+        if self.pos_embed not in ("conv", "perceptron"):
+            # same enum + exception class as the reference ctor
+            # (`/root/reference/unetr.py:66-67`)
+            raise KeyError(
+                f"Position embedding layer of type {self.pos_embed} is not supported."
+            )
+        if self.norm_name != "instance":
+            # the reference forwards norm_name to the MONAI blocks but every
+            # run uses "instance" (`unetr_segmentation_3d.py:509`); the fused
+            # serving/training kernels bake instance-norm epilogues, so other
+            # norms are rejected loudly rather than silently approximated
+            raise ValueError(
+                f"norm_name {self.norm_name!r} is not supported (only 'instance'; "
+                "the TPU kernel epilogues compute instance statistics)"
+            )
         p = self.patch_size
         self.feat_size = tuple(s // p for s in self.img_size)
         self.vit = ViT3D(
@@ -81,6 +100,7 @@ class UNETR(nn.Module):
             num_heads=self.num_heads,
             patch_size=p,
             dropout_rate=self.dropout_rate,
+            pos_embed=self.pos_embed,
             dtype=self.dtype,
             remat=bool(self.remat),
         )

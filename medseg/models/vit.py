@@ -45,6 +45,10 @@ class PatchEmbed3D(nn.Module):
     hidden_size: int = 768
     patch_size: int = 16
     dropout_rate: float = 0.0
+    # "perceptron" (rearrange + Linear, the reference's only used config) or
+    # "conv" (Conv3d k=stride=patch — the other embedding the reference ctor
+    # accepts, `/root/reference/unetr.py:66-67` / MONAI PatchEmbeddingBlock)
+    pos_embed: str = "perceptron"
     dtype: Dtype | None = None
 
     @nn.compact
@@ -56,11 +60,20 @@ class PatchEmbed3D(nn.Module):
         )
         gd, gh, gw = d // p, h // p, w // p
         n = gd * gh * gw
-        # (B, gd, p, gh, p, gw, p, C) -> (B, gd, gh, gw, p, p, p, C) -> (B, N, p^3*C)
-        x = x.reshape(b, gd, p, gh, p, gw, p, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-        x = x.reshape(b, n, p * p * p * c)
-        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(x)
+        if self.pos_embed == "conv":
+            # MONAI "conv": Conv3d(in, hidden, k=p, s=p), tokens flattened
+            # row-major over (d, h, w) — same token order as the perceptron
+            x = nn.Conv(
+                self.hidden_size, kernel_size=(p, p, p), strides=(p, p, p),
+                padding="VALID", dtype=self.dtype, name="proj_conv",
+            )(x)
+            x = x.reshape(b, n, self.hidden_size)
+        else:
+            # (B, gd, p, gh, p, gw, p, C) -> (B, gd, gh, gw, p, p, p, C) -> (B, N, p^3*C)
+            x = x.reshape(b, gd, p, gh, p, gw, p, c)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            x = x.reshape(b, n, p * p * p * c)
+            x = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(x)
         pos = self.param(
             "pos_embedding",
             nn.initializers.truncated_normal(stddev=0.02),
@@ -152,6 +165,7 @@ class ViT3D(nn.Module):
     num_heads: int = 12
     patch_size: int = 16
     dropout_rate: float = 0.0
+    pos_embed: str = "perceptron"
     dtype: Dtype | None = None
     remat: bool = False  # rematerialize each block in the backward pass
     gelu_approx: bool = False  # tanh-approx GELU (serving opt-in; params unchanged)
@@ -165,6 +179,7 @@ class ViT3D(nn.Module):
             hidden_size=self.hidden_size,
             patch_size=self.patch_size,
             dropout_rate=self.dropout_rate,
+            pos_embed=self.pos_embed,
             dtype=self.dtype,
             name="patch_embedding",
         )(x, deterministic=deterministic)

@@ -118,39 +118,26 @@ def _device_constants_cached(padded, roi, overlap, mode, sigma_scale):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "apply_fn", "roi", "n_classes", "pads", "out_shape",
-        "w_starts", "h_segs", "w_segs", "d_segs", "acc_dtype", "h_group",
-    ),
-)
-def _zrow_device(
+def _make_d_body(
     params,
-    volume: jax.Array,  # (D, H, W, C) unpadded
-    d_starts: jax.Array,  # (nd,) int32
+    volume: jax.Array,  # (Dp, Hp, Wp, C) padded
     h_starts: jax.Array,  # (nh,) int32
     importance: jax.Array,  # (rd, rh, rw) fp32
     inv_count: jax.Array,  # (Dp, Hp, Wp) fp32 reciprocal count map
     *,
     apply_fn: Callable,
     roi: tuple[int, int, int],
-    n_classes: int,
-    pads: tuple[tuple[int, int], ...],
-    out_shape: tuple[int, int, int],
     w_starts: tuple[int, ...],
-    h_segs,  # fold plans (static)
+    h_segs,
     w_segs,
-    d_segs,
-    acc_dtype: str = "bf16",
-    h_group: int = 1,  # h-rows per model call (batch = h_group * n_w)
-) -> jax.Array:
+    fold_dtype,
+    h_group: int,
+) -> Callable:
+    """Build the per-d0 slab scan body shared by the single-device walk and
+    the mesh-sharded walk: scan(h-rowblocks) x static w-windows -> one
+    H/W-folded slab ``(rd, 4, Hp/2, (Wp/2)*K16)``."""
     rd, rh, rw = roi
-    if any(lo or hi for lo, hi in pads):
-        volume = jnp.pad(volume, list(pads) + [(0, 0)])
-    dp, hp, wp_full, c = volume.shape
-    k16 = _flatk_pad(n_classes)
-    fold_dtype = jnp.bfloat16 if acc_dtype == "bf16" else jnp.float32
+    _, _, wp_full, c = volume.shape
     imp = importance[None, ..., None]  # (1, rd, rh, rw, 1)
     n_w = len(w_starts)
     g = h_group
@@ -191,16 +178,60 @@ def _zrow_device(
         slab = _fold(rows, h_segs, axis=2)  # (rd, 4, Hp/2, LW)
         return None, slab
 
-    _, slabs = jax.lax.scan(d_body, None, d_starts)  # (nd, rd, 4, Hp/2, LW)
-    acc = _fold(slabs, d_segs, axis=0)  # (Dp, 4, Hp/2, (Wp/2)*K16)
+    return d_body
 
-    # parity-plane deinterleave (same as the ppk scatter tail) + crop
-    acc = acc.reshape(dp, 2, 2, hp // 2, wp_full // 2, k16)
-    acc = acc.transpose(0, 3, 1, 4, 2, 5).reshape(dp, hp, wp_full, k16)
+
+def _deinterleave_crop(acc, pads, out_shape, n_classes):
+    """Parity-plane deinterleave (same as the ppk scatter tail) + pad crop."""
+    dp, _, hp2, lw = acc.shape
+    k16 = _flatk_pad(n_classes)
+    wp2 = lw // k16
+    acc = acc.reshape(dp, 2, 2, hp2, wp2, k16)
+    acc = acc.transpose(0, 3, 1, 4, 2, 5).reshape(dp, hp2 * 2, wp2 * 2, k16)
     begin = tuple(lo for lo, _ in pads) + (0,)
     return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,)).astype(
         jnp.float32
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn", "roi", "n_classes", "pads", "out_shape",
+        "w_starts", "h_segs", "w_segs", "d_segs", "acc_dtype", "h_group",
+    ),
+)
+def _zrow_device(
+    params,
+    volume: jax.Array,  # (D, H, W, C) unpadded
+    d_starts: jax.Array,  # (nd,) int32
+    h_starts: jax.Array,  # (nh,) int32
+    importance: jax.Array,  # (rd, rh, rw) fp32
+    inv_count: jax.Array,  # (Dp, Hp, Wp) fp32 reciprocal count map
+    *,
+    apply_fn: Callable,
+    roi: tuple[int, int, int],
+    n_classes: int,
+    pads: tuple[tuple[int, int], ...],
+    out_shape: tuple[int, int, int],
+    w_starts: tuple[int, ...],
+    h_segs,  # fold plans (static)
+    w_segs,
+    d_segs,
+    acc_dtype: str = "bf16",
+    h_group: int = 1,  # h-rows per model call (batch = h_group * n_w)
+) -> jax.Array:
+    if any(lo or hi for lo, hi in pads):
+        volume = jnp.pad(volume, list(pads) + [(0, 0)])
+    fold_dtype = jnp.bfloat16 if acc_dtype == "bf16" else jnp.float32
+    d_body = _make_d_body(
+        params, volume, h_starts, importance, inv_count,
+        apply_fn=apply_fn, roi=roi, w_starts=w_starts,
+        h_segs=h_segs, w_segs=w_segs, fold_dtype=fold_dtype, h_group=h_group,
+    )
+    _, slabs = jax.lax.scan(d_body, None, d_starts)  # (nd, rd, 4, Hp/2, LW)
+    acc = _fold(slabs, d_segs, axis=0)  # (Dp, 4, Hp/2, (Wp/2)*K16)
+    return _deinterleave_crop(acc, pads, out_shape, n_classes)
 
 
 def _pick_h_group(nh: int, n_w: int, target_batch: int | None = None) -> int:
@@ -217,6 +248,115 @@ def _pick_h_group(nh: int, n_w: int, target_batch: int | None = None) -> int:
         if nh % g == 0 and g * n_w <= target_batch:
             best = g
     return best
+
+
+def sliding_window_inference_zrow_sharded(
+    params,
+    volume,
+    apply_fn: Callable,
+    n_classes: int,
+    spec: SlidingWindowSpec,
+    mesh,
+    acc_dtype: str = "bf16",
+    h_group: int | None = None,
+) -> jax.Array:
+    """Mesh-sharded z-row walk: d-slabs of the walk distributed over the
+    ``data`` axis, one ``psum`` merges the folded accumulators.
+
+    Context parallelism over volume space (SURVEY.md §5 long-context row)
+    carrying the round-3 serving engine to multi-chip eval: each device runs
+    the zrow walk (same ppk ``apply_fn`` contract as
+    ``sliding_window_inference_zrow``) over its subset of the d-axis window
+    starts, H/W-folds locally, then adds its slabs into a full-depth
+    accumulator at their (major-dim) d-offsets — the D-fold is linear in
+    slabs, so the cross-device combine is one ``lax.psum`` over ICI. No halo
+    exchange: slabs overlap only in the accumulator. Bitwise semantics match
+    the single-device walk up to fp addition order in the D-overlap regions.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    squeeze = False
+    if volume.ndim == 5:
+        if volume.shape[0] != 1:
+            raise ValueError("sliding_window_inference expects a single volume")
+        volume = volume[0]
+        squeeze = True
+    spatial = tuple(int(s) for s in volume.shape[:3])
+    roi = tuple(spec.roi)
+    if not zrow_supported(spatial, spec):
+        raise ValueError(
+            "zrow walk requires even roi/pads and even window starts; "
+            "use the sharded flatk scatter for this grid"
+        )
+    rd, rh, rw = roi
+    k16 = _flatk_pad(n_classes)
+    pads = tuple(_pad_amounts(spatial, roi, spec.bucket_multiple))
+    padded = tuple(s + lo + hi for s, (lo, hi) in zip(spatial, pads))
+    dp, hp, wp_full = padded
+
+    d_starts, h_starts, w_starts = per_dim_window_starts(padded, roi, spec.overlap)
+    h_segs = _fold_plan([int(s) // 2 for s in h_starts], rh // 2, hp // 2)
+    w_segs = _fold_plan(
+        [(int(s) // 2) * k16 for s in w_starts], (rw // 2) * k16, (wp_full // 2) * k16
+    )
+    if h_group is None:
+        h_group = _pick_h_group(len(h_starts), len(w_starts))
+
+    n_dev = mesh.shape["data"]
+    d_np = np.asarray(d_starts, np.int32)
+    n_pad = (-len(d_np)) % n_dev
+    valid_np = np.concatenate([np.ones(len(d_np), np.float32), np.zeros(n_pad)])
+    d_np = np.concatenate([d_np, np.zeros(n_pad, np.int32)])
+
+    _, h_starts_dev, imp_dev, inv_count_dev = _device_constants_cached(
+        padded, roi, spec.overlap, spec.mode, spec.sigma_scale
+    )
+    fold_dtype = jnp.bfloat16 if acc_dtype == "bf16" else jnp.float32
+
+    def local_walk(params, vol, inv_count, imp, d_starts_l, valid_l):
+        d_body = _make_d_body(
+            params, vol, h_starts_dev, imp, inv_count,
+            apply_fn=apply_fn, roi=roi, w_starts=tuple(int(s) for s in w_starts),
+            h_segs=h_segs, w_segs=w_segs, fold_dtype=fold_dtype, h_group=h_group,
+        )
+        _, slabs = jax.lax.scan(d_body, None, d_starts_l)  # (nd_l, rd, 4, Hp/2, LW)
+        acc = jnp.zeros((dp,) + slabs.shape[2:], fold_dtype)
+
+        def add(i, a):
+            s = d_starts_l[i]
+            cur = jax.lax.dynamic_slice(a, (s, 0, 0, 0), slabs.shape[1:])
+            return jax.lax.dynamic_update_slice(
+                a, cur + slabs[i] * valid_l[i].astype(fold_dtype), (s, 0, 0, 0)
+            )
+
+        acc = jax.lax.fori_loop(0, d_starts_l.shape[0], add, acc)
+        return jax.lax.psum(acc, "data")
+
+    sharded = shard_map(
+        local_walk,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    vol = jnp.asarray(volume)
+    if any(lo or hi for lo, hi in pads):
+        vol = jnp.pad(vol, list(pads) + [(0, 0)])
+
+    @partial(jax.jit, static_argnames=())
+    def run(params, vol, inv_count, imp, d_l, v_l):
+        acc = sharded(params, vol, inv_count, imp, d_l, v_l)
+        return _deinterleave_crop(acc, pads, spatial, n_classes)
+
+    out = run(
+        params, vol, inv_count_dev, imp_dev,
+        jnp.asarray(d_np), jnp.asarray(valid_np),
+    )
+    if squeeze:
+        out = out[None]
+    return out
 
 
 def sliding_window_inference_zrow(

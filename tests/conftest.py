@@ -32,6 +32,15 @@ if not ON_TPU:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent compilation cache: XLA:CPU compiles threefry RNG kernels at
+# ~1.8s per (shape, distribution) — a tiny UNETR *init* alone costs ~50s of
+# compile. The cache makes repeat `pytest -m "not slow"` runs (the
+# contributor loop) pay that once per machine, not per run.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_medseg_tests")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 if not ON_TPU:
     assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
     assert jax.device_count() == 8, "expected 8 virtual CPU devices"

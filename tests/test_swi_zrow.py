@@ -168,3 +168,79 @@ def test_zrow_h_group_matches(rng, h_group):
         acc_dtype="fp32", h_group=h_group,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,overlap",
+    [
+        ((20, 18, 14, 3), 0.5),   # 4 d-starts over 8 devices (padded shards)
+        ((40, 36, 32, 1), 0.25),  # uneven d-starts vs device count
+        ((8, 8, 8, 2), 0.25),     # single window
+    ],
+)
+def test_zrow_sharded_matches_single_device(rng, shape, overlap):
+    """Mesh-sharded z-row walk == single-device z-row walk (d-slabs over the
+    8-device virtual mesh, psum combine)."""
+    from medseg.ops.swi_zrow import sliding_window_inference_zrow_sharded
+    from medseg.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    vol = rng.normal(size=shape).astype(np.float32)
+    k = 5
+    w = rng.normal(size=(shape[-1], k)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(8, 8, 8), overlap=overlap, mode="gaussian")
+    ref = sliding_window_inference_zrow(
+        jnp.asarray(w), jnp.asarray(vol), make_apply_pp(w, k, 8), k, spec,
+        acc_dtype="fp32",
+    )
+    got = sliding_window_inference_zrow_sharded(
+        jnp.asarray(w), jnp.asarray(vol), make_apply_pp(w, k, 8), k, spec, mesh,
+        acc_dtype="fp32",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_zrow_sharded_validator_route(rng):
+    """Validator with a mesh + the ppk serving layout routes through the
+    sharded zrow walk and matches the plain single-device scan-SWI blend.
+
+    On the CPU mesh the TPU fast path can't engage on its own, so this
+    emulates the TPU serving configuration by installing a ppk-contract
+    apply (same window form fast_apply_v3(pp=True) emits) on the validator.
+    """
+    from medseg.engine.evaluate import Validator
+    from medseg.models.unetr import UNETR
+    from medseg.parallel.mesh import make_mesh
+
+    model = UNETR(
+        in_channels=1, out_channels=3, img_size=(32, 32, 32), feature_size=4,
+        hidden_size=24, mlp_dim=48, num_heads=4, num_layers=4, patch_size=16,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 32, 1)))
+    vol = rng.normal(size=(40, 36, 32, 1)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(32, 32, 32), overlap=0.25, sw_batch=2)
+    plain = Validator(model, 3, "ct", spec, use_fast_path=False)
+    sharded = Validator(
+        model, 3, "ct", spec, use_fast_path=False, mesh=make_mesh(),
+        acc_dtype="fp32",
+    )
+
+    from medseg.ops.sliding_window import _flatk_pad
+
+    k16 = _flatk_pad(3)
+
+    def apply_pp(p, windows, wgt):
+        lg = model.apply(p, windows, return_encoder_features=False) * wgt
+        lg = jnp.pad(lg, [(0, 0)] * 4 + [(0, k16 - 3)])
+        b, rd, rh, rw, _ = lg.shape
+        g = lg.reshape(b, rd, rh // 2, 2, rw // 2, 2, k16)
+        return g.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            b, rd, 4, rh // 2, (rw // 2) * k16
+        )
+
+    sharded._out_layout = "ppk"
+    sharded._apply_fn = apply_pp
+    sharded._apply_takes_weight = True
+    ref = plain.infer_volume(params, jnp.asarray(vol))
+    got = sharded.infer_volume(params, jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
