@@ -75,37 +75,45 @@ def main() -> None:
     # parity-tested in tests/test_conv_of.py + tests/test_swi_zrow.py.
     out_layout = "ndhwc"
     if fast == "6":
-        from medseg.kernels.unetr_of import fast_apply_v3
+        from medseg.kernels.unetr_of import fast_apply_v3, serving_gelu_approx
 
         out_layout = "zrow"
+        gelu = serving_gelu_approx()  # production serving default (TPU: on)
 
         def apply_fn(p, windows, wgt):
             return fast_apply_v3(
-                model, p, windows, flat_k16=True, out_scale=wgt, pp=True
+                model, p, windows, flat_k16=True, out_scale=wgt, pp=True,
+                gelu_approx=gelu,
             )
     elif fast == "5":
         # v3 + PARITY-PLANE full-res layout: the transpose-conv writes its
         # four (y, x)-parity planes as direct matmul slices (no interleaved
         # relayout), the scatter accumulates in plane order, one
         # deinterleave per volume (kernels/conv_of.py:_pp_ok)
-        from medseg.kernels.unetr_of import fast_apply_v3
+        from medseg.kernels.unetr_of import fast_apply_v3, serving_gelu_approx
 
         out_layout = "ppk"
+        gelu = serving_gelu_approx()
 
         def apply_fn(p, windows, wgt):
             return fast_apply_v3(
-                model, p, windows, flat_k16=True, out_scale=wgt, pp=True
+                model, p, windows, flat_k16=True, out_scale=wgt, pp=True,
+                gelu_approx=gelu,
             )
     elif fast == "4":
         # v3 forward emitting bf16 NDHWC-K16 logits into the tile-aligned
         # flat (D, H, W*K16) scatter (misaligned-DUS fix, round-2); the
         # blend weight multiplies inside the out-head kernel epilogue
-        from medseg.kernels.unetr_of import fast_apply_v3
+        from medseg.kernels.unetr_of import fast_apply_v3, serving_gelu_approx
 
         out_layout = "flatk"
+        gelu = serving_gelu_approx()
 
         def apply_fn(p, windows, wgt):
-            return fast_apply_v3(model, p, windows, flat_k16=True, out_scale=wgt)
+            return fast_apply_v3(
+                model, p, windows, flat_k16=True, out_scale=wgt,
+                gelu_approx=gelu,
+            )
     elif fast == "3":
         from medseg.kernels.unetr_of import fast_apply_v3
 
@@ -204,6 +212,7 @@ def main() -> None:
                 if k in os.environ
             },
             "manual_ring": _manual_ring_resolved(),
+            "gelu_approx": _gelu_resolved(),
         }
     }
     if os.environ.get("BENCH_ONLY", "") != "4":
@@ -247,6 +256,14 @@ def _manual_ring_resolved() -> bool:
     from medseg.kernels.conv_of import _manual_fetch_on
 
     return _manual_fetch_on()
+
+
+def _gelu_resolved() -> bool:
+    """The resolved serving GELU mode (tanh-approx on TPU by default,
+    MEDSEG_FAST_GELU overrides) — recorded in the JSON audit trail."""
+    from medseg.kernels.unetr_of import serving_gelu_approx
+
+    return serving_gelu_approx()
 
 
 def _train_step_throughput(n_classes: int, batch: int) -> dict:

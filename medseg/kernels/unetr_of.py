@@ -312,11 +312,32 @@ def fast_apply_v2(
     return from_output_form(logits_of, h, w).astype(dtype)
 
 
-def _xla_stages(model: UNETR, p: dict, x: jax.Array):
+def serving_gelu_approx() -> bool:
+    """Default GELU mode for the PRODUCTION serving entry points (Validator
+    fast path, infer CLI, bench): tanh-approx ON for real TPU backends,
+    exact elsewhere. MEDSEG_FAST_GELU=0/1 overrides either way.
+
+    Promotion gate (benchmarks/gelu_dice_delta.py, v5e, trained OrganCT
+    model): Dice delta exactly 0.0 (0.985397 == 0.985397, per-class equal to
+    7 significant digits) between exact and tanh GELU through the full
+    train->eval CLI; serving throughput +4.5% (1.232 -> 1.287 vol/s,
+    docs/PERF_NOTES.md round-3c). Parity tests keep the exact path: on
+    random-init params the tanh delta is visible (99.05% argmax agreement)
+    even though trained-model outputs are unaffected."""
+    env = os.environ.get("MEDSEG_FAST_GELU")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _xla_stages(model: UNETR, p: dict, x: jax.Array, gelu_approx: bool | None = None):
     """ViT + low-resolution encoder/decoder stages (shared by v2/v3)."""
     b, d, h, w, _ = x.shape
     fs = model.feature_size
     q = model.num_layers // 4
+    if gelu_approx is None:
+        # legacy env knob; production serving resolves via serving_gelu_approx
+        gelu_approx = os.environ.get("MEDSEG_FAST_GELU", "0") == "1"
     vit = ViT3D(
         hidden_size=model.hidden_size,
         mlp_dim=model.mlp_dim,
@@ -326,8 +347,9 @@ def _xla_stages(model: UNETR, p: dict, x: jax.Array):
         dropout_rate=model.dropout_rate,
         dtype=model.dtype,
         # serving knob: tanh-approx GELU (|diff| ~3e-3, inside the bf16
-        # serving-noise budget) — opt-in, measured before adoption
-        gelu_approx=os.environ.get("MEDSEG_FAST_GELU", "0") == "1",
+        # serving-noise budget) — measured before adoption (see
+        # serving_gelu_approx above)
+        gelu_approx=gelu_approx,
     )
     tokens, hidden = _apply_sub(vit, p["vit"], x)
     fd = d // model.patch_size
@@ -369,6 +391,7 @@ def fast_apply_v3(
     flat_k16: bool = False,
     out_scale: jax.Array | None = None,  # (B, D, H, W, 1) fp32 blend weight
     pp: bool = False,  # parity-plane full-res layout (serving: ppk scatter)
+    gelu_approx: bool | None = None,  # None -> MEDSEG_FAST_GELU env (off)
 ):
     """Third-generation serving forward: everything at >= 48^3 resolution is
     Pallas output-form kernels; XLA keeps only the ViT + <= 24^3 stages and
@@ -416,7 +439,7 @@ def fast_apply_v3(
     pp = pp and _pp_ok(h, w)
     to_of = (lambda t, dt: to_pp(t, dt)) if pp else to_output_form
 
-    enc2, dec2 = _xla_stages(model, p, x)
+    enc2, dec2 = _xla_stages(model, p, x, gelu_approx=gelu_approx)
     dec1 = up_block_of(
         p["decoder3"], dec2, enc2, fs * 2, dtype, interpret=interpret,
         return_of=pp,
