@@ -221,11 +221,13 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
     # checkpoint I/O from host 0 only (params are replicated, so host 0's
     # copy is the global state; every host restores the same files)
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    resumed = False
     if args.mode == "train" and (ckpt.exists() or ckpt.exists("latest")):
         # crash recovery: resume from whichever of latest/best is newer
         # (a scheduled --save-latest-every save past the last best means the
         # previous run died mid-interval)
         state = ckpt.restore_freshest(state)
+        resumed = True
         logger.write(f"resuming from checkpoint at step {int(state.step)}")
     elif args.mode == "eval" and ckpt.exists():
         logger.write("evaluating existing best checkpoint")
@@ -262,6 +264,19 @@ def run_fold(args, cfg, fold_idx, train_list, val_list) -> dict:
             sync_every=args.sync_every,
             progress=progress,
         )
+        if resumed:
+            # seed the best-so-far from the sidecar metadata so a resumed run
+            # only overwrites "best" on a genuine improvement — without this,
+            # the first post-resume validation always saved as best even when
+            # its Dice was worse than the historical best (round-4 advisor)
+            meta = ckpt.metadata()
+            if "dice" in meta:
+                loop.best_metric = float(meta["dice"])
+                loop.best_step = int(meta.get("step", -1))
+                logger.write(
+                    f"resume: historical best Dice {loop.best_metric:.5f} "
+                    f"at step {loop.best_step}"
+                )
 
         def batches():
             while True:

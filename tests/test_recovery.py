@@ -179,3 +179,33 @@ def test_segmentation_cli_smoke(tmp_path):
     ckdir = os.path.join(out_root, "SmokeCT_0", "checkpoints")
     assert os.path.isdir(os.path.join(ckdir, "best"))
     assert os.path.isdir(os.path.join(ckdir, "latest"))
+
+
+def test_resume_does_not_demote_best(tmp_path):
+    """Round-4 advisor: a resumed run must seed best-so-far from the sidecar
+    metadata, so the first post-resume validation only saves as 'best' on a
+    genuine improvement. Without the seed, best_metric restarts at -1 and a
+    WORSE post-resume Dice silently overwrites the historical best."""
+    from medseg.cli.segmentation import main
+
+    data_dir = make_smoke_dataset(tmp_path)
+    out_root = str(tmp_path / "results")
+    common = [
+        data_dir, "SmokeCT", out_root, "2", "", "train", "1e6", "1e-3",
+        "--folds", "2", "--max-folds", "1", "--eval-num", "2",
+        "--save-latest-every", "1",
+    ] + TINY_CLI
+    main(common + ["--max-iterations", "2"])
+
+    # pretend the first run achieved an unbeatable best
+    meta_path = os.path.join(out_root, "SmokeCT_0", "checkpoints", "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["dice"] = 2.0
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    main(common + ["--max-iterations", "4"])  # resumes from step 2
+    with open(meta_path) as f:
+        meta2 = json.load(f)
+    assert meta2["dice"] == 2.0  # worse resumed validation did not demote it
