@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from medseg.cli.common import apply_overrides, build_model, resolve_datalist
+from medseg.cli.common import apply_overrides, build_model
 from medseg.config import preset
 from medseg.data import transforms as T
 from medseg.data.dataset import load_decathlon_datalist

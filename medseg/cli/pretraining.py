@@ -94,13 +94,24 @@ def run_stage(
     consumed_epochs = 0
     if ckpt.exists():
         state = ckpt.restore(state)
+        meta = ckpt.metadata()
+        if meta.get("completed"):
+            # the stage already CONVERGED in a previous run (loss plateau,
+            # possibly with epochs < max_iterations) — re-entering it would
+            # train another plateau window and mutate converged weights
+            # (round-4 advisor finding; crash-in-recon resume path)
+            logger.write(
+                f"{update_arc}: stage already completed "
+                f"({int(meta.get('epoch', 0))} epochs) — skipping"
+            )
+            return state
         # resume accounting (reference intent at
         # `unetr_ranking_pretraining_3d.py:539-540`: decrement the remaining
         # stage budget by the work already done — its literal code subtracts
         # a variable that is always 0 there, a quirk PARITY.md documents):
         # seed the tracker with the epochs consumed before the crash so a
         # resumed stage never runs more than max_iterations epochs in total
-        consumed_epochs = int(ckpt.metadata().get("epoch", 0))
+        consumed_epochs = int(meta.get("epoch", 0))
         logger.write(
             f"{update_arc}: resuming from checkpoint "
             f"(step {int(state.step)}, {consumed_epochs} epochs consumed)"
@@ -166,8 +177,12 @@ def run_stage(
     if bar is not None:
         bar.close()
     # final save: commit before returning (epoch count keeps the resume
-    # accounting correct if a crash lands between stages)
-    ckpt.save(state, metrics={"epoch": tracker.iterations}, block=True)
+    # accounting correct if a crash lands between stages; the completed flag
+    # makes a later resume SKIP this stage instead of re-entering a
+    # converged one)
+    ckpt.save(
+        state, metrics={"epoch": tracker.iterations, "completed": 1}, block=True
+    )
     plot_loss_vs_time(
         os.path.join(out_dir, f"{prefix}_loss_vs_time.png"), epoch_losses, epoch_times
     )

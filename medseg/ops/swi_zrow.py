@@ -273,9 +273,6 @@ def sliding_window_inference_zrow_sharded(
     exchange: slabs overlap only in the accumulator. Bitwise semantics match
     the single-device walk up to fp addition order in the D-overlap regions.
     """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
     squeeze = False
     if volume.ndim == 5:
         if volume.shape[0] != 1:
@@ -312,12 +309,65 @@ def sliding_window_inference_zrow_sharded(
     _, h_starts_dev, imp_dev, inv_count_dev = _device_constants_cached(
         padded, roi, spec.overlap, spec.mode, spec.sigma_scale
     )
+
+    out = _zrow_sharded_device(
+        params, jnp.asarray(volume), inv_count_dev, imp_dev,
+        jnp.asarray(d_np), jnp.asarray(valid_np), h_starts_dev,
+        apply_fn=apply_fn, roi=roi, n_classes=n_classes, pads=pads,
+        out_shape=spatial, w_starts=tuple(int(s) for s in w_starts),
+        h_segs=h_segs, w_segs=w_segs, acc_dtype=acc_dtype, h_group=h_group,
+        mesh=mesh,
+    )
+    if squeeze:
+        out = out[None]
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn", "roi", "n_classes", "pads", "out_shape",
+        "w_starts", "h_segs", "w_segs", "acc_dtype", "h_group", "mesh",
+    ),
+)
+def _zrow_sharded_device(
+    params,
+    volume: jax.Array,  # (D, H, W, C) unpadded
+    inv_count: jax.Array,
+    importance: jax.Array,
+    d_starts_all: jax.Array,  # (nd_padded,) int32, padded to mesh divisibility
+    valid_all: jax.Array,  # (nd_padded,) fp32 1/0 validity of each d-start
+    h_starts: jax.Array,
+    *,
+    apply_fn: Callable,
+    roi: tuple[int, int, int],
+    n_classes: int,
+    pads: tuple[tuple[int, int], ...],
+    out_shape: tuple[int, int, int],
+    w_starts: tuple[int, ...],
+    h_segs,
+    w_segs,
+    acc_dtype: str,
+    h_group: int,
+    mesh,
+) -> jax.Array:
+    """Module-level jitted entry for the sharded zrow walk: same static-key
+    caching as ``_zrow_device`` so repeat volumes at the same padded shape
+    reuse the compiled executable instead of rebuilding fresh shard_map/jit
+    closures per call (round-4 advisor finding — this is the default mesh
+    eval route)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if any(lo or hi for lo, hi in pads):
+        volume = jnp.pad(volume, list(pads) + [(0, 0)])
+    dp = volume.shape[0]
     fold_dtype = jnp.bfloat16 if acc_dtype == "bf16" else jnp.float32
 
-    def local_walk(params, vol, inv_count, imp, d_starts_l, valid_l):
+    def local_walk(params, vol, inv_count_l, imp_l, h_starts_l, d_starts_l, valid_l):
         d_body = _make_d_body(
-            params, vol, h_starts_dev, imp, inv_count,
-            apply_fn=apply_fn, roi=roi, w_starts=tuple(int(s) for s in w_starts),
+            params, vol, h_starts_l, imp_l, inv_count_l,
+            apply_fn=apply_fn, roi=roi, w_starts=w_starts,
             h_segs=h_segs, w_segs=w_segs, fold_dtype=fold_dtype, h_group=h_group,
         )
         _, slabs = jax.lax.scan(d_body, None, d_starts_l)  # (nd_l, rd, 4, Hp/2, LW)
@@ -336,27 +386,14 @@ def sliding_window_inference_zrow_sharded(
     sharded = shard_map(
         local_walk,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("data"), P("data")),
+        in_specs=(P(), P(), P(), P(), P(), P("data"), P("data")),
         out_specs=P(),
         check_vma=False,
     )
-
-    vol = jnp.asarray(volume)
-    if any(lo or hi for lo, hi in pads):
-        vol = jnp.pad(vol, list(pads) + [(0, 0)])
-
-    @partial(jax.jit, static_argnames=())
-    def run(params, vol, inv_count, imp, d_l, v_l):
-        acc = sharded(params, vol, inv_count, imp, d_l, v_l)
-        return _deinterleave_crop(acc, pads, spatial, n_classes)
-
-    out = run(
-        params, vol, inv_count_dev, imp_dev,
-        jnp.asarray(d_np), jnp.asarray(valid_np),
+    acc = sharded(
+        params, volume, inv_count, importance, h_starts, d_starts_all, valid_all
     )
-    if squeeze:
-        out = out[None]
-    return out
+    return _deinterleave_crop(acc, pads, out_shape, n_classes)
 
 
 def sliding_window_inference_zrow(

@@ -209,3 +209,43 @@ def test_resume_does_not_demote_best(tmp_path):
     with open(meta_path) as f:
         meta2 = json.load(f)
     assert meta2["dice"] == 2.0  # worse resumed validation did not demote it
+
+
+def test_pretrain_stage_skip_when_completed(tmp_path):
+    """Round-4 advisor: a pretraining stage that CONVERGED early (plateau,
+    epochs < max_iterations) must be skipped on resume, not re-entered for
+    another plateau window. The final save stamps completed=1; run_stage
+    returns before touching the loader (loader=None proves it)."""
+    from medseg.cli.pretraining import build_parser, run_stage
+    from medseg.config import preset
+    from medseg.utils.artifacts import RunLogger
+
+    args = build_parser().parse_args(
+        [
+            str(tmp_path / "data"), "TinyCT", str(tmp_path / "out"), "2",
+            "1e-3", "0.1", "ranking", "--max-iterations", "3",
+            "--crop-size", "16", "--feature-size", "2", "--hidden-size", "16",
+            "--mlp-dim", "32", "--num-heads", "2", "--num-layers", "2",
+            "--no-progress",
+        ]
+    )
+    cfg = preset("TinyCT", 2)
+    model = tiny_model()
+    state = tiny_state(model)
+    out_dir = str(tmp_path / "out" / "TinyCT_0")
+    os.makedirs(out_dir, exist_ok=True)
+    prefix = f"feat_lr_{args.learning_rate}_temp_{args.temperature}"
+    ckpt = CheckpointManager(os.path.join(out_dir, prefix))
+    # converged after 2 of 3 allowed epochs in the "previous run"
+    ckpt.save(state, metrics={"epoch": 2, "completed": 1}, block=True)
+
+    logger = RunLogger(out_dir, "pretrain_test")
+    out_state = run_stage(
+        args, cfg, model, tiny_state(model, seed=3), None, "feat", out_dir, logger
+    )
+    # restored the completed stage's weights without training
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(out_state.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    assert int(out_state.step) == int(state.step)
