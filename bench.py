@@ -222,6 +222,9 @@ def main() -> None:
             ("3_ranking_pretrain_step", _config3_pretrain),
             ("5_dp_virtual_mesh", _config5_dp_virtual),
             ("6_pretrain_wallclock", _config6_pretrain_wallclock),
+            ("7_e2e_infer", _config7_e2e_infer),
+            ("8_brats_swi", _config8_brats_swi),
+            ("9_brats_finetune_step", _config9_brats_finetune),
             ("train_btcv_step", lambda: _train_step_throughput(N_CLASSES, 4)),
         ):
             t0 = time.perf_counter()
@@ -240,6 +243,12 @@ def main() -> None:
                 "value": round(vols_per_sec, 4),
                 "unit": "volumes/sec",
                 "vs_baseline": round(vols_per_sec / A100_PYTORCH_BASELINE_VOL_PER_SEC, 3),
+                # honest margin at both edges of the derived A100 band
+                # (0.37-0.83 vol/s, docs/BASELINE_MEASUREMENT.md §3)
+                "vs_baseline_band": {
+                    "low_edge_0.83": round(vols_per_sec / 0.83, 3),
+                    "high_edge_0.37": round(vols_per_sec / 0.37, 3),
+                },
                 "flops_per_window_gf": round(FLOPS_PER_WINDOW / 1e9, 1),
                 "tflops": round(tflops, 2),
                 "mfu": round(mfu, 4),
@@ -431,6 +440,152 @@ def _config6_pretrain_wallclock() -> dict:
     return out
 
 
+def _config7_e2e_infer() -> dict:
+    """Config 7: END-TO-END serving through the infer CLI — NIfTI decode +
+    preprocess + SWI + mask post + NIfTI write, over synthetic 512x512x160 CT
+    volumes (the reference pipeline scope, `unetr_segmentation_3d.py:322-400`
+    + `:109`). The synthetic dataset + checkpoint are cached across bench
+    runs (~/.cache/medseg_bench)."""
+    import pathlib
+
+    from medseg.cli import infer as infer_cli
+    from medseg.data.nifti import write_nifti as _wn
+
+    cache = pathlib.Path(os.path.expanduser("~/.cache/medseg_bench"))
+    data_root = cache / "data"
+    ds = data_root / "BenchCT"
+    n_vols = 4
+    if not (ds / "dataset.json").exists():
+        (ds / "imagesTr").mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(0)
+        entries = []
+        for i in range(n_vols):
+            img = rng.normal(100.0, 80.0, size=VOLUME_SHAPE).astype(np.float32)
+            _wn(str(ds / "imagesTr" / f"v{i}.nii.gz"), img)
+            entries.append({"image": f"imagesTr/v{i}.nii.gz",
+                            "label": f"imagesTr/v{i}.nii.gz"})
+        with open(ds / "dataset.json", "w") as f:
+            json.dump({"training": entries}, f)
+    ckpt_dir = cache / "ckpt_btcv"
+    if not (ckpt_dir / "best").exists():
+        from medseg.engine.checkpoint import CheckpointManager
+        from medseg.engine.state import create_train_state
+        from medseg.models.unetr import unetr_b16
+
+        model = unetr_b16(1, N_CLASSES, ROI, dtype=jnp.bfloat16)
+        state = create_train_state(
+            model, rng=jax.random.key(0),
+            sample_input=jnp.zeros((1, ROI, ROI, ROI, 1), jnp.float32),
+            learning_rate=1e-4, weight_decay=1e-5,
+        )
+        CheckpointManager(str(ckpt_dir)).save(state, block=True)
+    out_dir = cache / "out"
+    stats_path = cache / "e2e_stats.json"
+    infer_cli.main([
+        str(data_root), "BenchCT", str(ckpt_dir), str(out_dir),
+        str(N_CLASSES), "--bf16", "--sw-overlap", str(OVERLAP),
+        "--sw-mode", "gaussian", "--stats-json", str(stats_path),
+    ])
+    with open(stats_path) as f:
+        stats = json.load(f)
+    stats["note"] = "decode+preprocess+SWI+mask+write vol/s, first (compile) volume excluded"
+    return stats
+
+
+def _config8_brats_swi() -> dict:
+    """Config 8: the BraTS half of Table 1 — 4-modality MRI serving at the
+    reference flagship shape (240x240x155 native, 128^3 windows, sigmoid;
+    `unetr_segmentation_3d.py:309-318,407-482`). Multi-channel input routes
+    to the exact flax forward (the fused chain is C_in=1-only, round-5
+    gate), so this measures the XLA path."""
+    from medseg.engine.evaluate import Validator
+    from medseg.models.unetr import unetr_b16
+    from medseg.ops.sliding_window import SlidingWindowSpec
+
+    roi, k = 128, 4
+    model = unetr_b16(4, k, roi, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, roi, roi, roi, 4), jnp.float32)
+    )
+    spec = SlidingWindowSpec(roi=(roi,) * 3, overlap=OVERLAP, sw_batch=4,
+                             mode="gaussian")
+    validator = Validator(model, k, "mri", spec, acc_dtype="bf16")
+    vol = 0.3 * jax.random.normal(
+        jax.random.key(1), (240, 240, 155, 4), jnp.float32
+    )
+    logits = validator.infer_volume(params, vol)
+    float(np.asarray(logits[0, 0, 0, 0]))  # compile + run
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        logits = validator.infer_volume(params, vol)
+    float(np.asarray(logits[0, 0, 0, 0]))
+    dt = (time.perf_counter() - t0) / reps
+    from medseg.ops.sliding_window import compute_window_starts
+
+    n_win = len(compute_window_starts(
+        tuple(max(s, roi) for s in (240, 240, 155)), (roi,) * 3, OVERLAP
+    ))
+    return {
+        "volumes_per_sec": round(1.0 / dt, 4),
+        "windows_per_sec": round(n_win / dt, 1),
+        "n_windows": n_win,
+        "pipeline": "exact flax (multi-channel gate)",
+    }
+
+
+def _config9_brats_finetune() -> dict:
+    """Config 9: BraTS fine-tune step (4-ch 128^3 crops, sigmoid DiceCE) —
+    the training half of Table 1's Task-1 rows."""
+    return _train_step_throughput_cfg(
+        n_classes=4, batch=2, roi=128, in_ch=4, task="mri"
+    )
+
+
+def _train_step_throughput_cfg(
+    n_classes: int, batch: int, roi: int, in_ch: int, task: str
+) -> dict:
+    from medseg.engine.state import create_train_state
+    from medseg.engine.train import make_train_step
+    from medseg.models.unetr import unetr_b16
+
+    model = unetr_b16(in_ch, n_classes, roi, dtype=jnp.bfloat16, remat=True)
+    img = jax.random.normal(
+        jax.random.key(2), (batch, roi, roi, roi, in_ch), jnp.float32
+    )
+    if task == "ct":
+        lab = jax.random.randint(
+            jax.random.key(3), (batch, roi, roi, roi), 0, n_classes
+        )
+    else:
+        lab = (
+            jax.random.uniform(jax.random.key(3), (batch, roi, roi, roi, n_classes))
+            > 0.7
+        ).astype(jnp.float32)
+    state = create_train_state(
+        model, rng=jax.random.key(0), sample_input=img[:1],
+        learning_rate=1e-4, weight_decay=1e-5,
+    )
+    step = make_train_step(model, task=task, donate=True)
+    b = {"image": img, "label": lab}
+    state, loss = step(state, b)
+    float(loss)
+    n = 6
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, loss = step(state, b)
+    float(loss)
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "patches_per_sec": round(batch / dt, 2),
+        "batch": batch,
+        "n_classes": n_classes,
+        "roi": roi,
+        "in_channels": in_ch,
+    }
+
+
 def _config5_dp_virtual() -> dict:
     """Config 5: data-parallel step scaling, SIMULATED on a virtual 8-device
     CPU mesh (no multi-chip hardware in this environment — labeled as such;
@@ -450,7 +605,11 @@ def _config5_dp_virtual() -> dict:
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-300:])
     data = json.loads(out.stdout.strip().splitlines()[-1])
-    data["note"] = "virtual 8-device CPU mesh (no multi-chip hardware here)"
+    data["note"] = (
+        "correctness smoke, not a scaling number: wall-seconds of the full "
+        "sharded train-step dryrun on a virtual 8-device CPU mesh (no "
+        "multi-chip hardware in this environment)"
+    )
     return data
 
 

@@ -1444,12 +1444,17 @@ def convt_expand_of(
     bias = convt_params["bias"]
     co = kern.shape[3]
     s2 = 2 * s
+    # Emit the einsum in the dot-natural index order and CAST TO bf16 BEFORE
+    # the (d,i)/(h,j)/(w,l) interleave transpose: the zip is a lane-level
+    # relayout copy XLA runs at ~125 GB/s (round-3c trace, fusion.2008 +
+    # copy.965/.966/.968 ~= 68 ms/vol at dec3) — halving its bytes halves it.
     T = jnp.einsum(
-        "bdhwc,ijlkc->bdikhjwl", t, kern.astype(t.dtype),
+        "bdhwc,ijlkc->bdhwijlk", t, kern.astype(t.dtype),
         preferred_element_type=jnp.float32,
     )
-    T = T + bias[None, None, None, :, None, None, None, None]
-    T = T.reshape(b, s2, co, s2, s2).astype(dtype)
+    T = (T + bias[None, None, None, None, None, None, None, :]).astype(dtype)
+    T = T.transpose(0, 1, 4, 7, 2, 5, 3, 6)  # -> (b, d, i, k, h, j, w, l)
+    T = T.reshape(b, s2, co, s2, s2)
     if _compact(s2, s2):
         T = T.reshape(b, s2, co, s2 * s2)
     else:

@@ -134,3 +134,69 @@ def test_full_size_trained_swi_parity(rng):
     finally:
         for k, v in saved.items():
             setattr(tp, k, v)
+
+
+BRATS = dict(HID=768, MLP=3072, HEADS=12, LAYERS=12, FS=16, PATCH=16,
+             CROP=128, IN_CH=4, OUT_CH=4)
+BRATS_VOL = (144, 144, 144)
+
+
+@pytest.mark.slow
+def test_full_size_brats_swi_parity(rng):
+    """BraTS flagship shape (`unetr_segmentation_3d.py:309-318,407-482`):
+    4-modality input, 128^3 windows, sigmoid masks. The multi-channel gate
+    routes serving to the exact flax forward, so this pins the configuration
+    end-to-end: torch-oracle SWI vs jax SWI blended logits AND the sigmoid
+    mask the MRI branch thresholds."""
+    saved = {k: getattr(tp, k) for k in BRATS}
+    for k, v in BRATS.items():
+        setattr(tp, k, v)
+    try:
+        torch.manual_seed(0)
+        tmodel = tp.TorchUNETR()
+        opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3)
+        for _ in range(2):
+            x = torch.randn(1, 4, 128, 128, 128)
+            y = (torch.rand(1, 4, 128, 128, 128) > 0.7).float()
+            loss = torch.nn.functional.binary_cross_entropy_with_logits(
+                tmodel(x), y
+            )
+            opt.zero_grad(); loss.backward(); opt.step()
+        tmodel.eval()
+
+        vol = rng.normal(size=(1, 4) + BRATS_VOL).astype(np.float32) * 0.3
+        ref = torch_swi(tmodel, torch.tensor(vol), 128, OVERLAP)  # (1,4,D,H,W)
+
+        jmodel = UNETR(
+            in_channels=4, out_channels=4, img_size=(128,) * 3,
+            feature_size=16, hidden_size=768, mlp_dim=3072, num_heads=12,
+            num_layers=12, patch_size=16,
+        )
+        xj = jnp.asarray(vol[0].transpose(1, 2, 3, 0))  # (D, H, W, 4)
+        template = jax.eval_shape(
+            lambda: jmodel.init(jax.random.key(0), jnp.zeros((1, 128, 128, 128, 4)))
+        )
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), template
+        )
+        params = merge_params(template, convert_torch_state_dict(tmodel.state_dict()))
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+
+        spec = SlidingWindowSpec(roi=(128,) * 3, overlap=OVERLAP, sw_batch=4)
+
+        def apply_plain(p, windows):
+            return jmodel.apply(p, windows, return_encoder_features=False)
+
+        got = sliding_window_inference(params, xj, apply_plain, 4, spec)
+        got_ncdhw = np.asarray(got).transpose(3, 0, 1, 2)[None]
+
+        scale = np.abs(ref).max()
+        assert np.abs(got_ncdhw - ref).max() < 2e-3 * scale
+        # the MRI branch thresholds sigmoid(logits) > 0.5 (seg :482)
+        mask_ref = ref > 0.0
+        mask_got = got_ncdhw > 0.0
+        agree = (mask_ref == mask_got).mean()
+        assert agree >= 0.999, f"sigmoid mask agreement {agree:.5f}"
+    finally:
+        for k, v in saved.items():
+            setattr(tp, k, v)
