@@ -1139,16 +1139,18 @@ def _combine_kernel(
         else:
             u_win = _manual_window(uph, ubuf, usem, zb, nzb)
         y_win = _manual_window(yh, ybuf, ysem, zb, nzb)
-        x_win = xh[0]  # C=1: automatic halo pipeline (see conv3x3x3_of_combine)
+        x_win = xh[0]  # always the automatic halo pipeline (see wrapper)
     else:
         u_win, y_win, x_win = uph[0], yh[0], xh[0]
     u_sel = u_win.astype(jnp.float32)  # halo rows (ZB+2, CH, LO)
     y_sel = y_win.astype(jnp.float32)
-    x_sel = x_win.astype(jnp.float32)  # (ZB+2, 1, LO)
+    x_sel = x_win.astype(jnp.float32)  # (ZB+2, 1 or CH, LO)
     comb = (
         y_sel * ay_ref[0][None]
         + by_ref[0][None]
-        + x_sel * ax_ref[0][None]  # (.., 1, LO) * (CH, 1) broadcast
+        # C_in=1: (.., 1, LO) * (CH, 1) broadcast (conv3 folded into ax);
+        # multi-channel: elementwise norm3 affine on the conv3 rows
+        + x_sel * ax_ref[0][None]
         + bx_ref[0][None]
     )
     comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb)
@@ -1205,10 +1207,13 @@ def conv3x3x3_of_combine(
     # the raw matmul form (B, 8*C_half, D/2, LO/4) from convt_matmul_pp
     # when ``up_m`` (pp + manual fetch only)
     y: jax.Array,  # (B, D, C_half, LO) previous conv output (pre-norm)
-    x1: jax.Array,  # (B, D, 1, LO) single-channel block input (enc1 residual)
+    x1: jax.Array,  # enc1 residual stream: (B, D, 1, LO) raw block input
+    # (C_in=1, conv3 folded into ``ax``) or (B, D, C_half, LO) conv3 matmul
+    # rows (multi-channel input, round-5)
     ay: jax.Array,  # (B, C_half, 1) instance-norm affine for y
     by: jax.Array,
-    ax: jax.Array,  # (B, C_half, 1) residual-path affine for x (a3 * k3 folded)
+    ax: jax.Array,  # (B, C_half, 1) residual-path affine for x (a3 * k3
+    # folded when C_in=1; the plain norm3 affine otherwise)
     bx: jax.Array,
     wmat: jax.Array,  # (3*CO, 9*2*C_half)
     wres: jax.Array,  # (CO, 2*C_half)
@@ -1246,10 +1251,12 @@ def conv3x3x3_of_combine(
     stat_shape = jax.ShapeDtypeStruct((bsz, c_out, LANE), jnp.float32)
     res_shape = jax.ShapeDtypeStruct((bsz, dp, c_out, lo), out_dtype)
 
-    # the C=1 x stream stays on the automatic halo pipeline even in manual
-    # mode: its (ZB+2, 1, LO) ring blocks have a sublane dim below the bf16
-    # packing factor, which Mosaic rejects for explicit DMAs — and at 1/16th
-    # of the y stream's bytes the ring gains nothing there
+    # the x stream stays on the automatic halo pipeline even in manual
+    # mode: at C=1 its (ZB+2, 1, LO) ring blocks have a sublane dim below
+    # the bf16 packing factor, which Mosaic rejects for explicit DMAs (and
+    # at 1/16th of the y stream's bytes the ring gains nothing); the
+    # multi-channel residual stream keeps the same route for uniformity
+    x_c = x1.shape[2]
     halo = (
         (lambda arr_c: pl.BlockSpec(memory_space=pl.ANY))
         if manual
@@ -1284,7 +1291,7 @@ def conv3x3x3_of_combine(
         in_specs=[
             halo(c_half),
             halo(c_half),
-            _halo_spec(zb, 1, lo),  # C=1 x stream: always automatic
+            _halo_spec(zb, x_c, lo),  # x stream: always automatic
             ab_spec, ab_spec, ab_spec, ab_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1314,6 +1321,7 @@ def _manual_rows(x_hbm, buf, sem, zb: int, nzb: int):
 
 def _outhead_kernel(
     *refs, zb: int, nzb: int, scaled: bool, compute_dtype, manual: bool = False,
+    transposed: bool = False, zpack: int = 1,
 ):
     """Final residual-block combine + LeakyReLU + 1x1x1 out head, one pass:
     logits = (K @ leaky(az*z + bz + ar*res + br) + bias) [* scale], written
@@ -1321,7 +1329,23 @@ def _outhead_kernel(
     with ``scaled``, the sliding-window blend weight (importance * 1/count
     * window-validity, one row per (b, z)) multiplies in the epilogue so the
     serving path emits PRE-WEIGHTED logits (kills a standalone full-volume
-    multiply pass). Multi-z blocked (no halos for a 1x1x1 head)."""
+    multiply pass). Multi-z blocked (no halos for a 1x1x1 head).
+
+    ``transposed``: emit (ZB, LO, CO) instead of (ZB, CO, LO) — the matmul
+    runs with the contraction on the lhs SUBLANE dim (Mosaic lowers the
+    transposed-lhs dot natively, benchmarks/probe_relayout2.py), so the
+    row-major HBM result IS the ppk/flatk K-minor window form and the
+    XLA exit ``swapaxes(2,3)`` relayout (45 ms/vol at 96^3, round-3c trace)
+    disappears. Bias rides as an extra contraction row ([comb; w] x
+    [K ; bias*], w = scale row or ones) so scale and bias both apply in the
+    lane-natural orientation.
+
+    ``zpack`` (requires transposed): pack ``zpack`` consecutive z-rows into
+    the lane dim — per grid step ONE (ZB//zpack groups of) (LO, zpack*CO)
+    value whose lane tile is full when zpack*CO == 128. The bare transposed
+    store is a CO(=16)-lane-minor write that runs at ~1/8 DMA efficiency
+    (probe_outhead_t.py: 8.44 vs 4.08 ms/call); packing restores aligned
+    full-tile stores while keeping the K-minor-within-z window form."""
     if scaled:
         (z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, bias_ref,
          sc_ref, o_ref, *scratch) = refs
@@ -1346,6 +1370,31 @@ def _outhead_kernel(
         + br_ref[0][None]
     )  # (ZB, C, LO)
     comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb).astype(compute_dtype)
+    if transposed:
+        # out[l, k] = sum_c comb[c, l]*K[c, k] + w[l]*bias[k], with
+        # w = scale (pre-weighted serving) or 1. k_ref is (C+1, CO):
+        # rows [0, C) the head weights, row C the bias (fp32 values cast
+        # to compute dtype by the caller).
+        lo = comb.shape[-1]
+        outs = []
+        for j in range(zb):
+            if scaled:
+                w_row = sc_win[j].astype(jnp.float32)  # (1, LO)
+                lhs = jnp.concatenate(
+                    [comb[j].astype(jnp.float32) * w_row, w_row], axis=0
+                ).astype(compute_dtype)
+            else:
+                lhs = jnp.concatenate(
+                    [comb[j], jnp.ones((1, lo), comb.dtype)], axis=0
+                )
+            outs.append(
+                jax.lax.dot_general(
+                    lhs, k_ref[...], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (LO, CO)
+        o_ref[...] = jnp.stack(outs)[None].astype(o_ref.dtype)
+        return
     outs = [
         jnp.dot(k_ref[...], comb[j], preferred_element_type=jnp.float32)
         + bias_ref[...]
@@ -1357,7 +1406,9 @@ def _outhead_kernel(
     o_ref[...] = out[None].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret", "transposed")
+)
 def outhead_of(
     z: jax.Array,  # (B, D, C, LO) final conv output (pre-norm)
     res: jax.Array,  # (B, D, C, LO) residual tap (pre-norm)
@@ -1371,15 +1422,27 @@ def outhead_of(
     *,
     out_dtype=jnp.float32,
     interpret: bool = False,
+    transposed: bool = False,
 ):
     """UNPADDED output-form logits (B, D, CO_pad, LO) — the pallas chain's
     exit point drops the DPAD guard rows. Pad channels carry bias only;
     callers slice [:n_classes]. ``scale`` multiplies the logits in the
-    kernel epilogue (sliding-window blend weights)."""
+    kernel epilogue (sliding-window blend weights).
+
+    With ``transposed=True`` the result is (B, D, LO, CO_pad): row-major
+    this IS the flatk/ppk K-minor window form — the caller's reshape to
+    (B, D, 4, H/2, (W/2)*K16) (pp) or (B, D, H, W, K16) (compact) is a free
+    bitcast, replacing the measured 45 ms/vol ``swapaxes(2,3)`` exit copy.
+    The (ZB, LO, CO) block is lane-padded to 128 in VMEM (8x for CO=16), so
+    the z-block is capped separately (MEDSEG_ZB_OUTHEAD_T, default 4)."""
     bsz, dp, c, lo = z.shape
     d = dp - 2 * DPAD
     co = kout.shape[0]
     zb = _zb_for(d, c)
+    if transposed:
+        limit = int(os.environ.get("MEDSEG_ZB_OUTHEAD_T", "4"))
+        while zb > limit or d % zb:
+            zb -= 1
     nzb = d // zb
     manual = _manual_fetch_on()
     # no z-halo here (1x1x1 head): aligned ZB windows at data offset ZB*zz
@@ -1391,12 +1454,19 @@ def outhead_of(
             lambda bb, zz: (bb, DPAD + zz * zb, 0, 0),
         )
     ab_spec = pl.BlockSpec((1, c, 1), lambda bb, zz: (bb, 0, 0))
+    if transposed:
+        # (C+1, CO): head weights + bias row (see _outhead_kernel)
+        kmat = jnp.concatenate(
+            [kout.T, bias.astype(kout.dtype).reshape(1, co)], axis=0
+        )
+    else:
+        kmat = kout
     in_specs = [
         row(c), row(c), ab_spec, ab_spec, ab_spec, ab_spec,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    operands = [z, res, az, bz, ar, br, kout, bias]
+    operands = [z, res, az, bz, ar, br, kmat, bias]
     stream_cs = [c, c]
     if scale is not None:
         in_specs.append(row(1))
@@ -1409,15 +1479,17 @@ def outhead_of(
                 pltpu.VMEM((2, zb, arr_c, lo), op.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
+    out_block = (1, zb, lo, co) if transposed else (1, zb, co, lo)
+    out_dims = (bsz, d, lo, co) if transposed else (bsz, d, co, lo)
     return pl.pallas_call(
         functools.partial(
             _outhead_kernel, zb=zb, nzb=nzb, scaled=scale is not None,
-            compute_dtype=kout.dtype, manual=manual,
+            compute_dtype=kout.dtype, manual=manual, transposed=transposed,
         ),
         grid=(bsz, nzb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, zb, co, lo), lambda bb, zz: (bb, zz, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, d, co, lo), out_dtype),
+        out_specs=pl.BlockSpec(out_block, lambda bb, zz: (bb, zz, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(out_dims, out_dtype),
         scratch_shapes=scratch_shapes,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
