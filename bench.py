@@ -80,10 +80,10 @@ def main() -> None:
         out_layout = "zrow"
         gelu = serving_gelu_approx()  # production serving default (TPU: on)
 
-        def apply_fn(p, windows, wgt):
+        def apply_fn(p, windows, wgt, zpack=1):
             return fast_apply_v3(
                 model, p, windows, flat_k16=True, out_scale=wgt, pp=True,
-                gelu_approx=gelu,
+                gelu_approx=gelu, zpack=zpack,
             )
     elif fast == "5":
         # v3 + PARITY-PLANE full-res layout: the transpose-conv writes its

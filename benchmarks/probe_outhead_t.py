@@ -55,3 +55,26 @@ for name, f in [("old(swapaxes)", old), ("new(transposed)", new)]:
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n * 1e3
     print(f"{name}: {dt:.3f} ms/call (batch {B})")
+
+
+# z-packed variant: full 128-lane tile stores (zpack = 128 // CO = 8)
+@jax.jit
+def zpk(z, res, scale):
+    o = outhead_of(z, res, az, bz, ar, br, kout, bias, scale,
+                   out_dtype=jnp.bfloat16, transposed=True, zpack=8)
+    return o.reshape(B, D // 8, 4, H // 2, (W // 2) * 8 * CO)
+
+
+c = np.asarray(zpk(z, res, scale), np.float32)
+# unpack to the unpacked ppk form for comparison
+cu = c.reshape(B, D // 8, 4, H // 2, W // 2, 8, CO)
+cu = cu.transpose(0, 1, 5, 2, 3, 4, 6).reshape(B, D, 4, H // 2, (W // 2) * CO)
+err_z = np.max(np.abs(a - cu)) / (np.max(np.abs(a)) + 1e-9)
+print(f"rel err old vs zpk: {err_z:.2e}")
+zpk(z, res, scale).block_until_ready()
+import time as _t
+t0 = _t.perf_counter()
+for _ in range(30):
+    out = zpk(z, res, scale)
+out.block_until_ready()
+print(f"zpk(transposed,packed): {(_t.perf_counter()-t0)/30*1e3:.3f} ms/call (batch {B})")

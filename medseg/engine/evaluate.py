@@ -111,14 +111,15 @@ class Validator:
 
             gelu = serving_gelu_approx()
 
-            def apply_fn(params, windows, wgt):
+            def apply_fn(params, windows, wgt, zpack=1):
                 # fused output-form Pallas path on TPU: bf16 pre-weighted
                 # logits (blend weight folded into the out-head kernel) into
                 # the tile-aligned parity-plane/flat scatter; identical flax
-                # forward elsewhere
+                # forward elsewhere. ``zpack`` is the z-packed ppk window
+                # form the zrow walk negotiates (ops/sliding_window.ppk_zpack)
                 return fast_apply_v3(
                     model, params, windows, flat_k16=True, out_scale=wgt,
-                    pp=pp, gelu_approx=gelu,
+                    pp=pp, gelu_approx=gelu, zpack=zpack,
                 )
 
             def apply_fn_flat(params, windows, wgt):

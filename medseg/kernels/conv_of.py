@@ -1393,6 +1393,15 @@ def _outhead_kernel(
                     preferred_element_type=jnp.float32,
                 )
             )  # (LO, CO)
+        if zpack > 1:
+            # z-packed lanes: groups of zpack consecutive z-rows concat on
+            # the lane dim -> (ZB//zpack, LO, zpack*CO) full-tile stores
+            groups = [
+                jnp.concatenate(outs[g * zpack : (g + 1) * zpack], axis=-1)
+                for g in range(zb // zpack)
+            ]
+            o_ref[...] = jnp.stack(groups)[None].astype(o_ref.dtype)
+            return
         o_ref[...] = jnp.stack(outs)[None].astype(o_ref.dtype)
         return
     outs = [
@@ -1407,7 +1416,7 @@ def _outhead_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "interpret", "transposed")
+    jax.jit, static_argnames=("out_dtype", "interpret", "transposed", "zpack")
 )
 def outhead_of(
     z: jax.Array,  # (B, D, C, LO) final conv output (pre-norm)
@@ -1423,6 +1432,7 @@ def outhead_of(
     out_dtype=jnp.float32,
     interpret: bool = False,
     transposed: bool = False,
+    zpack: int = 1,
 ):
     """UNPADDED output-form logits (B, D, CO_pad, LO) — the pallas chain's
     exit point drops the DPAD guard rows. Pad channels carry bias only;
@@ -1434,15 +1444,30 @@ def outhead_of(
     (B, D, 4, H/2, (W/2)*K16) (pp) or (B, D, H, W, K16) (compact) is a free
     bitcast, replacing the measured 45 ms/vol ``swapaxes(2,3)`` exit copy.
     The (ZB, LO, CO) block is lane-padded to 128 in VMEM (8x for CO=16), so
-    the z-block is capped separately (MEDSEG_ZB_OUTHEAD_T, default 4)."""
+    the z-block is capped separately (MEDSEG_ZB_OUTHEAD_T, default 4).
+
+    ``zpack > 1`` (requires ``transposed`` and ``d % zpack == 0``; pick
+    zpack = 128 // CO_pad so the lane tile is full): the result is
+    (B, D/zpack, LO, zpack*CO_pad) — groups of zpack consecutive z-rows
+    packed on the lane dim, the z-packed ppk window form the zrow walk
+    consumes (K-minor within each packed z-row)."""
     bsz, dp, c, lo = z.shape
     d = dp - 2 * DPAD
     co = kout.shape[0]
+    if zpack > 1:
+        assert transposed and d % zpack == 0, (d, zpack, transposed)
     zb = _zb_for(d, c)
     if transposed:
-        limit = int(os.environ.get("MEDSEG_ZB_OUTHEAD_T", "4"))
-        while zb > limit or d % zb:
-            zb -= 1
+        limit = max(int(os.environ.get("MEDSEG_ZB_OUTHEAD_T", "4")), zpack)
+        zb = min(zb, limit)
+        if zpack > 1:
+            # zb a multiple of zpack; d % zpack == 0 guarantees termination
+            zb = max(zb - zb % zpack, zpack)
+            while d % zb:
+                zb -= zpack
+        else:
+            while d % zb:
+                zb -= 1
     nzb = d // zb
     manual = _manual_fetch_on()
     # no z-halo here (1x1x1 head): aligned ZB windows at data offset ZB*zz
@@ -1479,12 +1504,20 @@ def outhead_of(
                 pltpu.VMEM((2, zb, arr_c, lo), op.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
-    out_block = (1, zb, lo, co) if transposed else (1, zb, co, lo)
-    out_dims = (bsz, d, lo, co) if transposed else (bsz, d, co, lo)
+    if zpack > 1:
+        out_block = (1, zb // zpack, lo, zpack * co)
+        out_dims = (bsz, d // zpack, lo, zpack * co)
+    elif transposed:
+        out_block = (1, zb, lo, co)
+        out_dims = (bsz, d, lo, co)
+    else:
+        out_block = (1, zb, co, lo)
+        out_dims = (bsz, d, co, lo)
     return pl.pallas_call(
         functools.partial(
             _outhead_kernel, zb=zb, nzb=nzb, scaled=scale is not None,
             compute_dtype=kout.dtype, manual=manual, transposed=transposed,
+            zpack=zpack,
         ),
         grid=(bsz, nzb),
         in_specs=in_specs,

@@ -59,18 +59,27 @@ def _leaky(x):
     return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
 
 
-def ndhwc_to_pp_windows(out: jax.Array) -> jax.Array:
+def ndhwc_to_pp_windows(out: jax.Array, zpack: int = 1) -> jax.Array:
     """NDHWC logits (B, D, H, W, K) -> the ppk window form
     (B, D, 4, H/2, (W/2)*K16) emitted by ``fast_apply_v3(pp=True,
     flat_k16=True)``: plane index 2j+l for voxel (y, x) = (2hh+j, 2ww+l),
     classes padded to K16 (``sliding_window._flatk_pad`` — the accumulator
-    layout contract; reused so the two can never desynchronize)."""
+    layout contract; reused so the two can never desynchronize).
+
+    ``zpack > 1``: the z-packed variant (B, D/zp, 4, H/2, (W/2)*zp*K16)
+    with minor order (ww, z-in-pack, k) — matches
+    ``outhead_of(transposed=True, zpack=zp)``."""
     from medseg.ops.sliding_window import _flatk_pad
 
     b, d, h, w, k = out.shape
     k16 = _flatk_pad(k)
     if k != k16:
         out = jnp.pad(out, [(0, 0)] * 4 + [(0, k16 - k)])
+    if zpack > 1:
+        out = out.reshape(b, d // zpack, zpack, h // 2, 2, w // 2, 2, k16)
+        # -> (b, dblk, j, l, hh, ww, jz, k)
+        out = out.transpose(0, 1, 4, 6, 3, 5, 2, 7)
+        return out.reshape(b, d // zpack, 4, h // 2, (w // 2) * zpack * k16)
     out = out.reshape(b, d, h // 2, 2, w // 2, 2, k16)
     out = out.transpose(0, 1, 3, 5, 2, 4, 6)  # (b, d, j, l, hh, ww, k)
     return out.reshape(b, d, 4, h // 2, (w // 2) * k16)
@@ -426,6 +435,7 @@ def fast_apply_v3(
     out_scale: jax.Array | None = None,  # (B, D, H, W, 1) fp32 blend weight
     pp: bool = False,  # parity-plane full-res layout (serving: ppk scatter)
     gelu_approx: bool | None = None,  # None -> MEDSEG_FAST_GELU env (off)
+    zpack: int = 1,  # z-packed ppk window form (sliding_window.ppk_zpack)
 ):
     """Third-generation serving forward: everything at >= 48^3 resolution is
     Pallas output-form kernels; XLA keeps only the ViT + <= 24^3 stages and
@@ -460,7 +470,7 @@ def fast_apply_v3(
             # directly and would crash on raw NDHWC (round-2 advisor finding)
             out = out.astype(jnp.bfloat16)
             if pp:
-                return ndhwc_to_pp_windows(out)
+                return ndhwc_to_pp_windows(out, zpack=zpack)
             return out
         return out.transpose(0, 1, 4, 2, 3) if channels_first else out
 
@@ -582,16 +592,17 @@ def fast_apply_v3(
         p["out"]["conv"]["bias"].astype(jnp.float32)
     )
     scale_of = None if out_scale is None else to_of(out_scale, jnp.float32)
-    # K-minor exits (ppk/flatk window forms): with MEDSEG_OUTHEAD_T=1 the
-    # kernel emits (B, D, LO, CO_pad) directly (transposed-lhs dot,
-    # conv_of._outhead_kernel) and the reshape below is a free row-major
-    # bitcast. Measured on v5e (benchmarks/probe_outhead_t.py): the
-    # swapaxes exit copy disappears but the CO-minor (16-lane) store runs at
-    # ~1/8 DMA efficiency — 8.44 vs 4.08 ms/call at batch 8 — so the
-    # default stays on the K-major kernel + XLA swapaxes. Kept as an
-    # interpret-mode-tested building block for a z-packed (128-lane) window
-    # form. Interpret mode exercises it so parity stays pinned.
-    transposed = (
+    # K-minor exits (ppk/flatk window forms). zpack > 1 (the zrow serving
+    # route): the kernel emits the z-packed (B, D/zp, LO, zp*CO) form with
+    # full 128-lane-tile stores and the reshape below is a free row-major
+    # bitcast — no exit relayout at all. zpack == 1: the bare transposed
+    # store is CO(16)-lane-minor and runs at ~1/8 DMA efficiency
+    # (benchmarks/probe_outhead_t.py: 8.44 vs 4.08 ms/call), so the default
+    # stays on the K-major kernel + XLA swapaxes; MEDSEG_OUTHEAD_T=1 forces
+    # it, and interpret mode exercises it so parity stays pinned.
+    if zpack > 1:
+        assert pp and flat_k16 and zpack * co_pad == 128, (zpack, co_pad)
+    transposed = zpack > 1 or (
         flat_k16
         and (pp or wp == w)
         and (interpret or os.environ.get("MEDSEG_OUTHEAD_T", "0") == "1")
@@ -599,12 +610,17 @@ def fast_apply_v3(
     logits_of = outhead_of(
         z2, res, za2, zb2, za3, zb3, k_out, bias, scale_of,
         out_dtype=jnp.bfloat16 if flat_k16 else jnp.float32,
-        interpret=interpret, transposed=transposed,
-    )  # (B, D, CO_pad, LO) or (B, D, LO, CO_pad) when transposed
+        interpret=interpret, transposed=transposed, zpack=zpack,
+    )  # (B, D, CO_pad, LO) | (B, D, LO, CO_pad) | (B, D/zp, LO, zp*CO_pad)
 
     if pp and flat_k16:
-        # ppk window: (B, D, 4, H/2, (W/2)*K16); planes deinterleave once
-        # per VOLUME at the end
+        # ppk window (B, D, 4, H/2, (W/2)*K16) or its z-packed variant
+        # (B, D/zp, 4, H/2, (W/2)*zp*K16); planes deinterleave once per
+        # VOLUME at the end
+        if zpack > 1:
+            return logits_of.reshape(
+                b, d // zpack, 4, h // 2, (w // 2) * zpack * co_pad
+            )
         if not transposed:
             logits_of = logits_of.swapaxes(2, 3)
         return logits_of.reshape(b, d, 4, h // 2, (w // 2) * co_pad)

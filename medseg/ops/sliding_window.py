@@ -279,6 +279,28 @@ def _flatk_pad(k: int) -> int:
     return max(8, -(-k // 8) * 8)
 
 
+def ppk_zpack(rd: int, n_classes: int) -> int:
+    """Z-packing factor of the z-packed ppk window form (round 5).
+
+    ``zpack = 128 // K16`` consecutive z-rows share a lane tile —
+    (B, rd/zpack, 4, rh/2, (rw/2)*zpack*K16), K-minor within each packed
+    z-row — so the transposed out-head kernel stores full 128-lane tiles
+    (the unpacked K-minor store ran at ~1/8 DMA efficiency,
+    benchmarks/probe_outhead_t.py) and the ppk exit transpose disappears.
+    Used by ``fast_apply_v3`` (producer) and the zrow walk (consumer);
+    both sides must call THIS function so they can never disagree.
+    Returns 1 (unpacked) when the shape doesn't divide or MEDSEG_ZPACK=0.
+    """
+    import os
+
+    if os.environ.get("MEDSEG_ZPACK", "1") == "0":
+        return 1
+    k16 = _flatk_pad(n_classes)
+    if 128 % k16 or rd % (128 // k16):
+        return 1
+    return 128 // k16
+
+
 def _swi_device_flatk(
     params,
     volume: jax.Array,  # (D, H, W, C) already padded

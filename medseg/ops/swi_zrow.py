@@ -55,11 +55,39 @@ from medseg.ops.sliding_window import (
     gaussian_importance,
     per_dim_window_starts,
     ppk_supported,
+    ppk_zpack,
 )
 
 # zrow consumes the same parity-plane window form as the ppk scatter, so the
 # geometry predicate is identical.
 zrow_supported = ppk_supported
+
+
+def _apply_fn_zpack(apply_fn) -> bool:
+    """Whether ``apply_fn`` accepts the ``zpack`` keyword (the z-packed ppk
+    window form, round 5). Closures that don't are fed unpacked windows."""
+    import inspect
+
+    try:
+        sig = inspect.signature(apply_fn)
+    except (TypeError, ValueError):
+        return False
+    if "zpack" in sig.parameters:
+        return True
+    return any(
+        p.kind == inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values()
+    )
+
+
+def _grid_zpack(apply_fn, rd: int, n_classes: int, d_starts, dp: int) -> int:
+    """z-packing factor for this walk: the shape rule (``ppk_zpack``) AND
+    the d-grid divisibility the packed D-fold needs AND apply_fn support."""
+    zp = ppk_zpack(rd, n_classes)
+    if zp == 1 or not _apply_fn_zpack(apply_fn):
+        return 1
+    if dp % zp or any(int(s) % zp for s in d_starts):
+        return 1
+    return zp
 
 
 def _fold_plan(
@@ -132,10 +160,12 @@ def _make_d_body(
     w_segs,
     fold_dtype,
     h_group: int,
+    zpack: int = 1,
 ) -> Callable:
     """Build the per-d0 slab scan body shared by the single-device walk and
     the mesh-sharded walk: scan(h-rowblocks) x static w-windows -> one
-    H/W-folded slab ``(rd, 4, Hp/2, (Wp/2)*K16)``."""
+    H/W-folded slab ``(rd, 4, Hp/2, (Wp/2)*K16)`` (z dims and the lane K16
+    scale by ``zpack`` for the z-packed window form)."""
     rd, rh, rw = roi
     _, _, wp_full, c = volume.shape
     imp = importance[None, ..., None]  # (1, rd, rh, rw, 1)
@@ -163,31 +193,45 @@ def _make_d_body(
             * imp[None]
         )  # (n_w, g, rd, rh, rw, 1)
         flat = lambda t: t.reshape((n_w * g,) + t.shape[2:])
-        ppw = apply_fn(params, flat(wins), flat(wgt))  # (n_w*g, rd, 4, rh/2, LWr)
+        if zpack > 1:
+            ppw = apply_fn(params, flat(wins), flat(wgt), zpack=zpack)
+        else:
+            ppw = apply_fn(params, flat(wins), flat(wgt))
+        # (n_w*g, rd/zp, 4, rh/2, LWr*zp)
         ppw = ppw.reshape((n_w, g) + ppw.shape[1:])
         row = _fold(ppw.astype(fold_dtype), w_segs, axis=4)
-        return None, row  # (g, rd, 4, rh/2, (Wp/2)*K16)
+        return None, row  # (g, rd/zp, 4, rh/2, (Wp/2)*zp*K16)
 
     def d_body(_, d0):
         starts = (
             jnp.broadcast_to(d0, (h_starts.shape[0] // g, g)),
             h_starts.reshape(-1, g),
         )
-        _, rows = jax.lax.scan(h_body, None, starts)  # (nh/g, g, rd, 4, rh/2, LW)
+        _, rows = jax.lax.scan(h_body, None, starts)  # (nh/g, g, rd/zp, 4, rh/2, LW)
         rows = rows.reshape((-1,) + rows.shape[2:])  # (nh, ...)
-        slab = _fold(rows, h_segs, axis=2)  # (rd, 4, Hp/2, LW)
+        slab = _fold(rows, h_segs, axis=2)  # (rd/zp, 4, Hp/2, LW)
         return None, slab
 
     return d_body
 
 
-def _deinterleave_crop(acc, pads, out_shape, n_classes):
-    """Parity-plane deinterleave (same as the ppk scatter tail) + pad crop."""
-    dp, _, hp2, lw = acc.shape
+def _deinterleave_crop(acc, pads, out_shape, n_classes, zpack: int = 1):
+    """Parity-plane deinterleave (same as the ppk scatter tail) + pad crop.
+    ``zpack > 1``: also unpack the z-packed lane groups (minor order
+    (ww, z-in-pack, k)) back to major z — still one pass per volume."""
+    dpz, _, hp2, lw = acc.shape
     k16 = _flatk_pad(n_classes)
-    wp2 = lw // k16
-    acc = acc.reshape(dp, 2, 2, hp2, wp2, k16)
-    acc = acc.transpose(0, 3, 1, 4, 2, 5).reshape(dp, hp2 * 2, wp2 * 2, k16)
+    if zpack > 1:
+        wp2 = lw // (zpack * k16)
+        acc = acc.reshape(dpz, 2, 2, hp2, wp2, zpack, k16)
+        # (dblk, jy, lx, hh, ww, jz, k) -> (dblk, jz, hh, jy, ww, lx, k)
+        acc = acc.transpose(0, 5, 3, 1, 4, 2, 6).reshape(
+            dpz * zpack, hp2 * 2, wp2 * 2, k16
+        )
+    else:
+        wp2 = lw // k16
+        acc = acc.reshape(dpz, 2, 2, hp2, wp2, k16)
+        acc = acc.transpose(0, 3, 1, 4, 2, 5).reshape(dpz, hp2 * 2, wp2 * 2, k16)
     begin = tuple(lo for lo, _ in pads) + (0,)
     return jax.lax.dynamic_slice(acc, begin, out_shape + (n_classes,)).astype(
         jnp.float32
@@ -199,6 +243,7 @@ def _deinterleave_crop(acc, pads, out_shape, n_classes):
     static_argnames=(
         "apply_fn", "roi", "n_classes", "pads", "out_shape",
         "w_starts", "h_segs", "w_segs", "d_segs", "acc_dtype", "h_group",
+        "zpack",
     ),
 )
 def _zrow_device(
@@ -220,6 +265,7 @@ def _zrow_device(
     d_segs,
     acc_dtype: str = "bf16",
     h_group: int = 1,  # h-rows per model call (batch = h_group * n_w)
+    zpack: int = 1,  # z-packed window form (d_segs must be in zp units)
 ) -> jax.Array:
     if any(lo or hi for lo, hi in pads):
         volume = jnp.pad(volume, list(pads) + [(0, 0)])
@@ -228,10 +274,11 @@ def _zrow_device(
         params, volume, h_starts, importance, inv_count,
         apply_fn=apply_fn, roi=roi, w_starts=w_starts,
         h_segs=h_segs, w_segs=w_segs, fold_dtype=fold_dtype, h_group=h_group,
+        zpack=zpack,
     )
-    _, slabs = jax.lax.scan(d_body, None, d_starts)  # (nd, rd, 4, Hp/2, LW)
-    acc = _fold(slabs, d_segs, axis=0)  # (Dp, 4, Hp/2, (Wp/2)*K16)
-    return _deinterleave_crop(acc, pads, out_shape, n_classes)
+    _, slabs = jax.lax.scan(d_body, None, d_starts)  # (nd, rd/zp, 4, Hp/2, LW)
+    acc = _fold(slabs, d_segs, axis=0)  # (Dp/zp, 4, Hp/2, (Wp/2)*zp*K16)
+    return _deinterleave_crop(acc, pads, out_shape, n_classes, zpack=zpack)
 
 
 def _pick_h_group(nh: int, n_w: int, target_batch: int | None = None) -> int:
@@ -293,9 +340,11 @@ def sliding_window_inference_zrow_sharded(
     dp, hp, wp_full = padded
 
     d_starts, h_starts, w_starts = per_dim_window_starts(padded, roi, spec.overlap)
+    zp = _grid_zpack(apply_fn, rd, n_classes, d_starts, dp)
+    lk = zp * k16
     h_segs = _fold_plan([int(s) // 2 for s in h_starts], rh // 2, hp // 2)
     w_segs = _fold_plan(
-        [(int(s) // 2) * k16 for s in w_starts], (rw // 2) * k16, (wp_full // 2) * k16
+        [(int(s) // 2) * lk for s in w_starts], (rw // 2) * lk, (wp_full // 2) * lk
     )
     if h_group is None:
         h_group = _pick_h_group(len(h_starts), len(w_starts))
@@ -316,7 +365,7 @@ def sliding_window_inference_zrow_sharded(
         apply_fn=apply_fn, roi=roi, n_classes=n_classes, pads=pads,
         out_shape=spatial, w_starts=tuple(int(s) for s in w_starts),
         h_segs=h_segs, w_segs=w_segs, acc_dtype=acc_dtype, h_group=h_group,
-        mesh=mesh,
+        mesh=mesh, zpack=zp,
     )
     if squeeze:
         out = out[None]
@@ -328,6 +377,7 @@ def sliding_window_inference_zrow_sharded(
     static_argnames=(
         "apply_fn", "roi", "n_classes", "pads", "out_shape",
         "w_starts", "h_segs", "w_segs", "acc_dtype", "h_group", "mesh",
+        "zpack",
     ),
 )
 def _zrow_sharded_device(
@@ -350,6 +400,7 @@ def _zrow_sharded_device(
     acc_dtype: str,
     h_group: int,
     mesh,
+    zpack: int = 1,
 ) -> jax.Array:
     """Module-level jitted entry for the sharded zrow walk: same static-key
     caching as ``_zrow_device`` so repeat volumes at the same padded shape
@@ -369,12 +420,13 @@ def _zrow_sharded_device(
             params, vol, h_starts_l, imp_l, inv_count_l,
             apply_fn=apply_fn, roi=roi, w_starts=w_starts,
             h_segs=h_segs, w_segs=w_segs, fold_dtype=fold_dtype, h_group=h_group,
+            zpack=zpack,
         )
-        _, slabs = jax.lax.scan(d_body, None, d_starts_l)  # (nd_l, rd, 4, Hp/2, LW)
-        acc = jnp.zeros((dp,) + slabs.shape[2:], fold_dtype)
+        _, slabs = jax.lax.scan(d_body, None, d_starts_l)  # (nd_l, rd/zp, ...)
+        acc = jnp.zeros((dp // zpack,) + slabs.shape[2:], fold_dtype)
 
         def add(i, a):
-            s = d_starts_l[i]
+            s = d_starts_l[i] // zpack  # _grid_zpack guarantees divisibility
             cur = jax.lax.dynamic_slice(a, (s, 0, 0, 0), slabs.shape[1:])
             return jax.lax.dynamic_update_slice(
                 a, cur + slabs[i] * valid_l[i].astype(fold_dtype), (s, 0, 0, 0)
@@ -393,7 +445,7 @@ def _zrow_sharded_device(
     acc = sharded(
         params, volume, inv_count, importance, h_starts, d_starts_all, valid_all
     )
-    return _deinterleave_crop(acc, pads, out_shape, n_classes)
+    return _deinterleave_crop(acc, pads, out_shape, n_classes, zpack=zpack)
 
 
 def sliding_window_inference_zrow(
@@ -437,11 +489,13 @@ def sliding_window_inference_zrow(
     dp, hp, wp_full = padded
 
     d_starts, h_starts, w_starts = per_dim_window_starts(padded, roi, spec.overlap)
+    zp = _grid_zpack(apply_fn, rd, n_classes, d_starts, dp)
+    lk = zp * k16  # lane elements per half-voxel column
     h_segs = _fold_plan([int(s) // 2 for s in h_starts], rh // 2, hp // 2)
     w_segs = _fold_plan(
-        [(int(s) // 2) * k16 for s in w_starts], (rw // 2) * k16, (wp_full // 2) * k16
+        [(int(s) // 2) * lk for s in w_starts], (rw // 2) * lk, (wp_full // 2) * lk
     )
-    d_segs = _fold_plan([int(s) for s in d_starts], rd, dp)
+    d_segs = _fold_plan([int(s) // zp for s in d_starts], rd // zp, dp // zp)
 
     if h_group is None:
         h_group = _pick_h_group(len(h_starts), len(w_starts))
@@ -468,6 +522,7 @@ def sliding_window_inference_zrow(
         d_segs=d_segs,
         acc_dtype=acc_dtype,
         h_group=h_group,
+        zpack=zp,
     )
     if squeeze:
         out = out[None]

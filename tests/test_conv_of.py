@@ -573,3 +573,37 @@ def test_fast_apply_v3_cin_eq_fs_falls_back(rng, monkeypatch):
         np.asarray(g[..., :3], dtype=np.float32), np.asarray(ref * scale),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_fast_apply_v3_zpacked_ppk_parity(rng):
+    """Round-5 z-packed ppk window form: outhead_of(transposed, zpack)
+    packs 128//K16 consecutive z-rows into the lane dim so stores are full
+    128-lane tiles and the ppk exit transpose disappears. Parity vs the
+    flax oracle at zpack=16 (3 classes -> K16=8)."""
+    from medseg.kernels.unetr_of import fast_apply_v3
+
+    model = UNETR(
+        in_channels=1, out_channels=3, img_size=(32, 32, 32),
+        feature_size=8, hidden_size=24, mlp_dim=48, num_heads=4,
+        num_layers=4, patch_size=16,
+    )
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    ref = model.apply(params, x, return_encoder_features=False)
+    scale = jnp.asarray(
+        rng.uniform(0.2, 1.0, size=(1, 32, 32, 32, 1)).astype(np.float32)
+    )
+    zp = 16  # 128 // K16(3)
+    got = fast_apply_v3(
+        model, params, x, interpret=True, pp=True, flat_k16=True,
+        out_scale=scale, zpack=zp,
+    )
+    assert got.shape == (1, 32 // zp, 4, 16, 16 * zp * 8)
+    assert got.dtype == jnp.bfloat16
+    # unpack: (b, dblk, jy, lx, hh, ww, jz, k) -> NDHWC
+    g = got.reshape(1, 32 // zp, 2, 2, 16, 16, zp, 8)
+    g = g.transpose(0, 1, 6, 4, 2, 5, 3, 7).reshape(1, 32, 32, 32, 8)
+    np.testing.assert_allclose(
+        np.asarray(g[..., :3], dtype=np.float32), np.asarray(ref * scale),
+        rtol=5e-2, atol=5e-2,
+    )

@@ -283,3 +283,66 @@ def test_zrow_sharded_reuses_compiled_callable(rng):
         jnp.asarray(w), jnp.asarray(vols[1]), base, k, spec, acc_dtype="fp32"
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+# ---- z-packed ppk window form (round 5) ----
+
+
+def make_apply_pp_zpack(k: int):
+    """ppk window contract with optional z-packing, via the same
+    ``ndhwc_to_pp_windows`` fallback the flax path uses (so the test pins
+    the producer/consumer layout contract end to end)."""
+    from medseg.kernels.unetr_of import ndhwc_to_pp_windows
+
+    def apply_pp(params, windows, wgt, zpack=1):
+        lg = jnp.einsum("bdhwc,ck->bdhwk", windows, params) * wgt
+        return ndhwc_to_pp_windows(lg, zpack=zpack)
+
+    return apply_pp
+
+
+def test_zrow_zpacked_matches_ndhwc(rng):
+    """k16=16 -> zpack 8: the packed walk (z-packed windows, scaled W-fold
+    plans, zp-unit D-folds, packed deinterleave) must blend identically to
+    the reference NDHWC engine."""
+    from medseg.ops.sliding_window import ppk_zpack
+    from medseg.ops.swi_zrow import _grid_zpack
+
+    k = 14
+    vol = rng.normal(size=(32, 24, 24, 3)).astype(np.float32)
+    w = rng.normal(size=(3, k)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(16, 16, 16), overlap=0.5, mode="gaussian")
+    apply_pp = make_apply_pp_zpack(k)
+
+    assert ppk_zpack(16, k) == 8
+    # d-grid (starts 0, 8, 16) divides by 8 -> the packed route engages
+    assert _grid_zpack(apply_pp, 16, k, [0, 8, 16], 32) == 8
+
+    ref = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, k, spec
+    )
+    got = sliding_window_inference_zrow(
+        jnp.asarray(w), jnp.asarray(vol), apply_pp, k, spec, acc_dtype="fp32"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_zrow_zpack_grid_fallback(rng):
+    """A d-grid that doesn't divide by the packing factor (overlap 0.25:
+    starts 0, 12, 16) must fall back to unpacked windows — and still match."""
+    from medseg.ops.swi_zrow import _grid_zpack
+
+    k = 14
+    vol = rng.normal(size=(32, 24, 24, 3)).astype(np.float32)
+    w = rng.normal(size=(3, k)).astype(np.float32)
+    spec = SlidingWindowSpec(roi=(16, 16, 16), overlap=0.25, mode="constant")
+    apply_pp = make_apply_pp_zpack(k)
+    assert _grid_zpack(apply_pp, 16, k, [0, 12, 16], 32) == 1
+
+    ref = sliding_window_inference(
+        jnp.asarray(w), jnp.asarray(vol), voxelwise_apply, k, spec
+    )
+    got = sliding_window_inference_zrow(
+        jnp.asarray(w), jnp.asarray(vol), apply_pp, k, spec, acc_dtype="fp32"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
