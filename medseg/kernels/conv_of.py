@@ -1529,6 +1529,141 @@ def outhead_of(
     )(*operands)
 
 
+def _outhead_row_kernel(
+    z_ref, r_ref, az_ref, bz_ref, ar_ref, br_ref, k_ref, sc_ref, o_ref,
+    *,
+    zb: int,
+    n_w: int,
+    rh2: int,
+    rw2: int,
+    w_starts2: tuple,
+    compute_dtype,
+):
+    """Out head + z-pack + in-kernel W-FOLD (round 5).
+
+    Grid (g, nzb, n_w), n_w innermost: the out block (one folded rowblock
+    row) is revisited across the n_w consecutive window steps — window wi's
+    z-packed rows accumulate into the row at its static ww offset, so the
+    per-window logits never round-trip HBM and the XLA W-fold pass
+    disappears (the windows' only HBM traffic is the z2/res/scale reads the
+    head needs anyway)."""
+    wi = pl.program_id(2)
+    z_win, r_win, sc_win = z_ref[0], r_ref[0], sc_ref[0]
+    comb = (
+        z_win.astype(jnp.float32) * az_ref[0][None]
+        + bz_ref[0][None]
+        + r_win.astype(jnp.float32) * ar_ref[0][None]
+        + br_ref[0][None]
+    )  # (ZB, C, LO)
+    comb = jnp.where(comb >= 0, comb, LEAKY_SLOPE * comb).astype(compute_dtype)
+    outs = []
+    for j in range(zb):
+        w_row = sc_win[j].astype(jnp.float32)  # (1, LO)
+        lhs = jnp.concatenate(
+            [comb[j].astype(jnp.float32) * w_row, w_row], axis=0
+        ).astype(compute_dtype)
+        outs.append(
+            jax.lax.dot_general(
+                lhs, k_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (LO, CO)
+    win = jnp.concatenate(outs, axis=-1)  # (LO, ZB*CO = 128)
+    win = win.reshape(4, rh2, rw2, win.shape[-1]).astype(o_ref.dtype)
+
+    @pl.when(wi == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    for w_idx in range(n_w):
+
+        @pl.when(wi == w_idx)
+        def _(w_idx=w_idx):
+            ws2 = w_starts2[w_idx]
+            sl = (0, 0) + (slice(None), slice(None), pl.ds(ws2, rw2), slice(None))
+            o_ref[sl] = o_ref[sl] + win
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_w", "w_starts2", "wp_half", "rh2", "rw2", "zpack",
+        "out_dtype", "interpret",
+    ),
+)
+def outhead_row_of(
+    z: jax.Array,  # (n_w*G, D + 2*DPAD, C, LO) final conv output (pre-norm)
+    res: jax.Array,  # same shape: residual tap (pre-norm)
+    az: jax.Array,  # (n_w*G, C, 1) norm affines
+    bz: jax.Array,
+    ar: jax.Array,
+    br: jax.Array,
+    kout: jax.Array,  # (CO_pad, C)
+    bias: jax.Array,  # (CO_pad, 1) fp32
+    scale: jax.Array,  # (n_w*G, D + 2*DPAD, 1, LO) fp32 blend weight
+    *,
+    n_w: int,
+    w_starts2: tuple,  # per-window ww offsets (w_start // 2), static
+    wp_half: int,  # folded row width Wp // 2
+    rh2: int,
+    rw2: int,
+    zpack: int,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """W-FOLDED z-packed rows (G, D/zp, 4, rh2, wp_half*zp*CO): the n_w
+    windows of each rowblock overlap-add inside the kernel (see
+    ``_outhead_row_kernel``). The batch dim must be n_w-major over the
+    window axis (window wi of group gg sits at batch index wi*G + gg —
+    the zrow walk's ``jnp.stack`` window order). Windows are the
+    ``fast_apply_v3(pp=True)`` pre-weighted serving windows; ``scale`` is
+    mandatory (it carries importance * 1/count * validity)."""
+    bsz, dp, c, lo = z.shape
+    d = dp - 2 * DPAD
+    g = bsz // n_w
+    co = kout.shape[0]
+    assert bsz == n_w * g and len(w_starts2) == n_w
+    assert zpack * co == 128 and d % zpack == 0, (zpack, co, d)
+    assert lo == 4 * rh2 * rw2, (lo, rh2, rw2)
+    zb = zpack
+    nzb = d // zb
+    kmat = jnp.concatenate(
+        [kout.T, bias.astype(kout.dtype).reshape(1, co)], axis=0
+    )
+
+    def row(arr_c):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(zb), pl.Element(arr_c), pl.Element(lo)),
+            lambda gg, zz, wi: (wi * g + gg, DPAD + zz * zb, 0, 0),
+        )
+
+    ab_spec = pl.BlockSpec((1, c, 1), lambda gg, zz, wi: (wi * g + gg, 0, 0))
+    out_spec = pl.BlockSpec(
+        (1, 1, 4, rh2, wp_half, zb * co),
+        lambda gg, zz, wi: (gg, zz, 0, 0, 0, 0),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _outhead_row_kernel,
+            zb=zb, n_w=n_w, rh2=rh2, rw2=rw2, w_starts2=w_starts2,
+            compute_dtype=kout.dtype,
+        ),
+        grid=(g, nzb, n_w),
+        in_specs=[
+            row(c), row(c), ab_spec, ab_spec, ab_spec, ab_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            row(1),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (g, nzb, 4, rh2, wp_half, zb * co), out_dtype
+        ),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(z, res, az, bz, ar, br, kmat, scale)
+    return out.reshape(g, nzb, 4, rh2, wp_half * zb * co)
+
+
 def convt_expand_of(
     t: jax.Array,  # (B, S, S, S, C_in) low-res NDHWC
     convt_params: dict,  # {"kernel": (2,2,2,CO,CI), "bias": (CO,)}

@@ -436,6 +436,10 @@ def fast_apply_v3(
     pp: bool = False,  # parity-plane full-res layout (serving: ppk scatter)
     gelu_approx: bool | None = None,  # None -> MEDSEG_FAST_GELU env (off)
     zpack: int = 1,  # z-packed ppk window form (sliding_window.ppk_zpack)
+    w_fold: tuple | None = None,  # (n_w, w_starts2, wp_half): in-kernel
+    # W-fold — windows overlap-add inside the out head, returns folded rows
+    # (G, D/zp, 4, H/2, wp_half*zp*K16); requires pp+flat_k16+zpack>1 and
+    # out_scale, batch = n_w * G in the zrow stack order
 ):
     """Third-generation serving forward: everything at >= 48^3 resolution is
     Pallas output-form kernels; XLA keeps only the ViT + <= 24^3 stages and
@@ -470,7 +474,23 @@ def fast_apply_v3(
             # directly and would crash on raw NDHWC (round-2 advisor finding)
             out = out.astype(jnp.bfloat16)
             if pp:
-                return ndhwc_to_pp_windows(out, zpack=zpack)
+                ppw = ndhwc_to_pp_windows(out, zpack=zpack)
+                if w_fold is None:
+                    return ppw
+                # XLA W-fold matching outhead_row_of's contract
+                n_w, w_starts2, wp_half = w_fold
+                from medseg.ops.sliding_window import _flatk_pad
+
+                lk = zpack * _flatk_pad(out.shape[-1])
+                g = ppw.shape[0] // n_w
+                ppw = ppw.reshape((n_w, g) + ppw.shape[1:])
+                rw2 = x.shape[3] // 2
+                row = jnp.zeros(
+                    ppw.shape[1:5] + (wp_half * lk,), ppw.dtype
+                )
+                for wi, ws2 in enumerate(w_starts2):
+                    row = row.at[..., ws2 * lk : (ws2 + rw2) * lk].add(ppw[wi])
+                return row
             return out
         return out.transpose(0, 1, 4, 2, 3) if channels_first else out
 
@@ -602,6 +622,20 @@ def fast_apply_v3(
     # it, and interpret mode exercises it so parity stays pinned.
     if zpack > 1:
         assert pp and flat_k16 and zpack * co_pad == 128, (zpack, co_pad)
+    if w_fold is not None:
+        # out head + z-pack + in-kernel W-fold: the n_w windows of each
+        # rowblock overlap-add inside the kernel; per-window logits never
+        # round-trip HBM (conv_of.outhead_row_of)
+        assert zpack > 1 and scale_of is not None, (zpack, out_scale)
+        from medseg.kernels.conv_of import outhead_row_of
+
+        n_w, w_starts2, wp_half = w_fold
+        return outhead_row_of(
+            z2, res, za2, zb2, za3, zb3, k_out, bias, scale_of,
+            n_w=n_w, w_starts2=w_starts2, wp_half=wp_half,
+            rh2=h // 2, rw2=w // 2, zpack=zpack,
+            out_dtype=jnp.bfloat16, interpret=interpret,
+        )  # (G, D/zp, 4, H/2, wp_half*zp*CO_pad)
     transposed = zpack > 1 or (
         flat_k16
         and (pp or wp == w)

@@ -79,6 +79,23 @@ def _apply_fn_zpack(apply_fn) -> bool:
     )
 
 
+def _apply_fn_w_fold(apply_fn) -> bool:
+    """Whether ``apply_fn`` accepts the ``w_fold`` keyword (in-kernel
+    W-fold: the out head overlap-adds the n_w windows of a rowblock and
+    returns folded rows — per-window logits never round-trip HBM)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(apply_fn)
+    except (TypeError, ValueError):
+        return False
+    if "w_fold" in sig.parameters:
+        return True
+    return any(
+        p.kind == inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values()
+    )
+
+
 def _grid_zpack(apply_fn, rd: int, n_classes: int, d_starts, dp: int) -> int:
     """z-packing factor for this walk: the shape rule (``ppk_zpack``) AND
     the d-grid divisibility the packed D-fold needs AND apply_fn support."""
@@ -161,11 +178,14 @@ def _make_d_body(
     fold_dtype,
     h_group: int,
     zpack: int = 1,
+    w_fold: bool = False,
 ) -> Callable:
     """Build the per-d0 slab scan body shared by the single-device walk and
     the mesh-sharded walk: scan(h-rowblocks) x static w-windows -> one
     H/W-folded slab ``(rd, 4, Hp/2, (Wp/2)*K16)`` (z dims and the lane K16
-    scale by ``zpack`` for the z-packed window form)."""
+    scale by ``zpack`` for the z-packed window form). With ``w_fold`` the
+    W-fold happens inside the model's out-head kernel (apply_fn returns
+    folded rows directly) and the XLA ``_fold(w_segs)`` pass is skipped."""
     rd, rh, rw = roi
     _, _, wp_full, c = volume.shape
     imp = importance[None, ..., None]  # (1, rd, rh, rw, 1)
@@ -193,13 +213,20 @@ def _make_d_body(
             * imp[None]
         )  # (n_w, g, rd, rh, rw, 1)
         flat = lambda t: t.reshape((n_w * g,) + t.shape[2:])
-        if zpack > 1:
+        if w_fold:
+            row = apply_fn(
+                params, flat(wins), flat(wgt), zpack=zpack,
+                w_fold=(n_w, tuple(ws // 2 for ws in w_starts), wp_full // 2),
+            ).astype(fold_dtype)
+        elif zpack > 1:
             ppw = apply_fn(params, flat(wins), flat(wgt), zpack=zpack)
+            # (n_w*g, rd/zp, 4, rh/2, LWr*zp)
+            ppw = ppw.reshape((n_w, g) + ppw.shape[1:])
+            row = _fold(ppw.astype(fold_dtype), w_segs, axis=4)
         else:
             ppw = apply_fn(params, flat(wins), flat(wgt))
-        # (n_w*g, rd/zp, 4, rh/2, LWr*zp)
-        ppw = ppw.reshape((n_w, g) + ppw.shape[1:])
-        row = _fold(ppw.astype(fold_dtype), w_segs, axis=4)
+            ppw = ppw.reshape((n_w, g) + ppw.shape[1:])
+            row = _fold(ppw.astype(fold_dtype), w_segs, axis=4)
         return None, row  # (g, rd/zp, 4, rh/2, (Wp/2)*zp*K16)
 
     def d_body(_, d0):
@@ -243,7 +270,7 @@ def _deinterleave_crop(acc, pads, out_shape, n_classes, zpack: int = 1):
     static_argnames=(
         "apply_fn", "roi", "n_classes", "pads", "out_shape",
         "w_starts", "h_segs", "w_segs", "d_segs", "acc_dtype", "h_group",
-        "zpack",
+        "zpack", "w_fold",
     ),
 )
 def _zrow_device(
@@ -266,6 +293,7 @@ def _zrow_device(
     acc_dtype: str = "bf16",
     h_group: int = 1,  # h-rows per model call (batch = h_group * n_w)
     zpack: int = 1,  # z-packed window form (d_segs must be in zp units)
+    w_fold: bool = False,  # W-fold inside the out-head kernel
 ) -> jax.Array:
     if any(lo or hi for lo, hi in pads):
         volume = jnp.pad(volume, list(pads) + [(0, 0)])
@@ -274,7 +302,7 @@ def _zrow_device(
         params, volume, h_starts, importance, inv_count,
         apply_fn=apply_fn, roi=roi, w_starts=w_starts,
         h_segs=h_segs, w_segs=w_segs, fold_dtype=fold_dtype, h_group=h_group,
-        zpack=zpack,
+        zpack=zpack, w_fold=w_fold,
     )
     _, slabs = jax.lax.scan(d_body, None, d_starts)  # (nd, rd/zp, 4, Hp/2, LW)
     acc = _fold(slabs, d_segs, axis=0)  # (Dp/zp, 4, Hp/2, (Wp/2)*zp*K16)
@@ -341,6 +369,7 @@ def sliding_window_inference_zrow_sharded(
 
     d_starts, h_starts, w_starts = per_dim_window_starts(padded, roi, spec.overlap)
     zp = _grid_zpack(apply_fn, rd, n_classes, d_starts, dp)
+    wf = zp > 1 and _apply_fn_w_fold(apply_fn)
     lk = zp * k16
     h_segs = _fold_plan([int(s) // 2 for s in h_starts], rh // 2, hp // 2)
     w_segs = _fold_plan(
@@ -365,7 +394,7 @@ def sliding_window_inference_zrow_sharded(
         apply_fn=apply_fn, roi=roi, n_classes=n_classes, pads=pads,
         out_shape=spatial, w_starts=tuple(int(s) for s in w_starts),
         h_segs=h_segs, w_segs=w_segs, acc_dtype=acc_dtype, h_group=h_group,
-        mesh=mesh, zpack=zp,
+        mesh=mesh, zpack=zp, w_fold=wf,
     )
     if squeeze:
         out = out[None]
@@ -377,7 +406,7 @@ def sliding_window_inference_zrow_sharded(
     static_argnames=(
         "apply_fn", "roi", "n_classes", "pads", "out_shape",
         "w_starts", "h_segs", "w_segs", "acc_dtype", "h_group", "mesh",
-        "zpack",
+        "zpack", "w_fold",
     ),
 )
 def _zrow_sharded_device(
@@ -401,6 +430,7 @@ def _zrow_sharded_device(
     h_group: int,
     mesh,
     zpack: int = 1,
+    w_fold: bool = False,
 ) -> jax.Array:
     """Module-level jitted entry for the sharded zrow walk: same static-key
     caching as ``_zrow_device`` so repeat volumes at the same padded shape
@@ -420,7 +450,7 @@ def _zrow_sharded_device(
             params, vol, h_starts_l, imp_l, inv_count_l,
             apply_fn=apply_fn, roi=roi, w_starts=w_starts,
             h_segs=h_segs, w_segs=w_segs, fold_dtype=fold_dtype, h_group=h_group,
-            zpack=zpack,
+            zpack=zpack, w_fold=w_fold,
         )
         _, slabs = jax.lax.scan(d_body, None, d_starts_l)  # (nd_l, rd/zp, ...)
         acc = jnp.zeros((dp // zpack,) + slabs.shape[2:], fold_dtype)
@@ -490,6 +520,7 @@ def sliding_window_inference_zrow(
 
     d_starts, h_starts, w_starts = per_dim_window_starts(padded, roi, spec.overlap)
     zp = _grid_zpack(apply_fn, rd, n_classes, d_starts, dp)
+    wf = zp > 1 and _apply_fn_w_fold(apply_fn)
     lk = zp * k16  # lane elements per half-voxel column
     h_segs = _fold_plan([int(s) // 2 for s in h_starts], rh // 2, hp // 2)
     w_segs = _fold_plan(
@@ -523,6 +554,7 @@ def sliding_window_inference_zrow(
         acc_dtype=acc_dtype,
         h_group=h_group,
         zpack=zp,
+        w_fold=wf,
     )
     if squeeze:
         out = out[None]

@@ -607,3 +607,47 @@ def test_fast_apply_v3_zpacked_ppk_parity(rng):
         np.asarray(g[..., :3], dtype=np.float32), np.asarray(ref * scale),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_fast_apply_v3_w_fold_kernel_parity(rng):
+    """In-kernel W-fold (round 5): outhead_row_of must produce exactly the
+    overlap-add of the z-packed windows it replaces (same windows, same
+    blend weights, fold inside the kernel vs the XLA _fold)."""
+    from medseg.kernels.unetr_of import fast_apply_v3
+
+    model = UNETR(
+        in_channels=1, out_channels=3, img_size=(32, 32, 32),
+        feature_size=8, hidden_size=24, mlp_dim=48, num_heads=4,
+        num_layers=4, patch_size=16,
+    )
+    zp = 16  # 128 // K16(3)
+    n_w, g = 2, 2
+    w_starts2 = (0, 8)  # window ww offsets (full-voxel starts 0, 16)
+    wp_half = 24  # folded row Wp = 48
+    x = jnp.asarray(
+        rng.normal(size=(n_w * g, 32, 32, 32, 1)).astype(np.float32)
+    )
+    params = model.init(jax.random.key(0), x[:1])
+    scale = jnp.asarray(
+        rng.uniform(0.2, 1.0, size=(n_w * g, 32, 32, 32, 1)).astype(np.float32)
+    )
+
+    row = fast_apply_v3(
+        model, params, x, interpret=True, pp=True, flat_k16=True,
+        out_scale=scale, zpack=zp, w_fold=(n_w, w_starts2, wp_half),
+    )
+    assert row.shape == (g, 32 // zp, 4, 16, wp_half * zp * 8)
+
+    ppw = fast_apply_v3(
+        model, params, x, interpret=True, pp=True, flat_k16=True,
+        out_scale=scale, zpack=zp,
+    )  # (n_w*g, 32/zp, 4, 16, 16*zp*8)
+    ppw = ppw.reshape((n_w, g) + ppw.shape[1:])
+    lk = zp * 8
+    ref = jnp.zeros(row.shape, ppw.dtype)
+    for wi, ws2 in enumerate(w_starts2):
+        ref = ref.at[..., ws2 * lk : (ws2 + 16) * lk].add(ppw[wi])
+    np.testing.assert_allclose(
+        np.asarray(row, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -289,14 +289,28 @@ def test_zrow_sharded_reuses_compiled_callable(rng):
 
 
 def make_apply_pp_zpack(k: int):
-    """ppk window contract with optional z-packing, via the same
-    ``ndhwc_to_pp_windows`` fallback the flax path uses (so the test pins
-    the producer/consumer layout contract end to end)."""
+    """ppk window contract with optional z-packing AND in-kernel-W-fold
+    emulation, via the same ``ndhwc_to_pp_windows`` fallback the flax path
+    uses (so the tests pin the producer/consumer layout contracts end to
+    end — declaring both kwargs makes the walk negotiate the packed,
+    row-folded route whenever the grid admits it)."""
     from medseg.kernels.unetr_of import ndhwc_to_pp_windows
+    from medseg.ops.sliding_window import _flatk_pad
 
-    def apply_pp(params, windows, wgt, zpack=1):
+    def apply_pp(params, windows, wgt, zpack=1, w_fold=None):
         lg = jnp.einsum("bdhwc,ck->bdhwk", windows, params) * wgt
-        return ndhwc_to_pp_windows(lg, zpack=zpack)
+        ppw = ndhwc_to_pp_windows(lg, zpack=zpack)
+        if w_fold is None:
+            return ppw
+        n_w, w_starts2, wp_half = w_fold
+        lk = zpack * _flatk_pad(k)
+        g = ppw.shape[0] // n_w
+        ppw = ppw.reshape((n_w, g) + ppw.shape[1:])
+        rw2 = windows.shape[3] // 2
+        row = jnp.zeros(ppw.shape[1:5] + (wp_half * lk,), ppw.dtype)
+        for wi, ws2 in enumerate(w_starts2):
+            row = row.at[..., ws2 * lk : (ws2 + rw2) * lk].add(ppw[wi])
+        return row
 
     return apply_pp
 
