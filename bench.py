@@ -80,10 +80,10 @@ def main() -> None:
         out_layout = "zrow"
         gelu = serving_gelu_approx()  # production serving default (TPU: on)
 
-        def apply_fn(p, windows, wgt, zpack=1):
+        def apply_fn(p, windows, wgt, zpack=1, w_fold=None):
             return fast_apply_v3(
                 model, p, windows, flat_k16=True, out_scale=wgt, pp=True,
-                gelu_approx=gelu, zpack=zpack,
+                gelu_approx=gelu, zpack=zpack, w_fold=w_fold,
             )
     elif fast == "5":
         # v3 + PARITY-PLANE full-res layout: the transpose-conv writes its

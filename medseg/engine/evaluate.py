@@ -111,15 +111,16 @@ class Validator:
 
             gelu = serving_gelu_approx()
 
-            def apply_fn(params, windows, wgt, zpack=1):
+            def apply_fn(params, windows, wgt, zpack=1, w_fold=None):
                 # fused output-form Pallas path on TPU: bf16 pre-weighted
                 # logits (blend weight folded into the out-head kernel) into
                 # the tile-aligned parity-plane/flat scatter; identical flax
-                # forward elsewhere. ``zpack`` is the z-packed ppk window
-                # form the zrow walk negotiates (ops/sliding_window.ppk_zpack)
+                # forward elsewhere. ``zpack``/``w_fold`` are the z-packed,
+                # in-kernel-W-folded window forms the zrow walk negotiates
+                # (ops/sliding_window.ppk_zpack, swi_zrow._grid_zpack)
                 return fast_apply_v3(
                     model, params, windows, flat_k16=True, out_scale=wgt,
-                    pp=pp, gelu_approx=gelu, zpack=zpack,
+                    pp=pp, gelu_approx=gelu, zpack=zpack, w_fold=w_fold,
                 )
 
             def apply_fn_flat(params, windows, wgt):
