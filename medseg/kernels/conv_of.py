@@ -1391,7 +1391,9 @@ def _outhead_kernel(
                 jax.lax.dot_general(
                     lhs, k_ref[...], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                ).astype(o_ref.dtype)
+                # cast per z-row: the fp32 (LO, CO) values are lane-padded
+                # 8x in VMEM — keeping zb of them live at fp32 costs ~38MB
             )  # (LO, CO)
         if zpack > 1:
             # z-packed lanes: groups of zpack consecutive z-rows concat on
@@ -1400,9 +1402,9 @@ def _outhead_kernel(
                 jnp.concatenate(outs[g * zpack : (g + 1) * zpack], axis=-1)
                 for g in range(zb // zpack)
             ]
-            o_ref[...] = jnp.stack(groups)[None].astype(o_ref.dtype)
+            o_ref[...] = jnp.stack(groups)[None]
             return
-        o_ref[...] = jnp.stack(outs)[None].astype(o_ref.dtype)
+        o_ref[...] = jnp.stack(outs)[None]
         return
     outs = [
         jnp.dot(k_ref[...], comb[j], preferred_element_type=jnp.float32)
@@ -1566,10 +1568,10 @@ def _outhead_row_kernel(
             jax.lax.dot_general(
                 lhs, k_ref[...], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(o_ref.dtype)  # see _outhead_kernel: fp32 lane pad x8
         )  # (LO, CO)
     win = jnp.concatenate(outs, axis=-1)  # (LO, ZB*CO = 128)
-    win = win.reshape(4, rh2, rw2, win.shape[-1]).astype(o_ref.dtype)
+    win = win.reshape(4, rh2, rw2, win.shape[-1])
 
     @pl.when(wi == 0)
     def _():

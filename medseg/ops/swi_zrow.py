@@ -96,6 +96,10 @@ def _apply_fn_w_fold(apply_fn) -> bool:
     )
 
 
+def _wfold_on() -> bool:
+    return os.environ.get("MEDSEG_WFOLD", "1") == "1"
+
+
 def _grid_zpack(apply_fn, rd: int, n_classes: int, d_starts, dp: int) -> int:
     """z-packing factor for this walk: the shape rule (``ppk_zpack``) AND
     the d-grid divisibility the packed D-fold needs AND apply_fn support."""
@@ -269,7 +273,7 @@ def _deinterleave_crop(acc, pads, out_shape, n_classes, zpack: int = 1):
     jax.jit,
     static_argnames=(
         "apply_fn", "roi", "n_classes", "pads", "out_shape",
-        "w_starts", "h_segs", "w_segs", "d_segs", "acc_dtype", "h_group",
+        "w_starts", "h_segs", "w_segs", "acc_dtype", "h_group",
         "zpack", "w_fold",
     ),
 )
@@ -289,10 +293,9 @@ def _zrow_device(
     w_starts: tuple[int, ...],
     h_segs,  # fold plans (static)
     w_segs,
-    d_segs,
     acc_dtype: str = "bf16",
     h_group: int = 1,  # h-rows per model call (batch = h_group * n_w)
-    zpack: int = 1,  # z-packed window form (d_segs must be in zp units)
+    zpack: int = 1,  # z-packed window form (slab adds in zp units)
     w_fold: bool = False,  # W-fold inside the out-head kernel
 ) -> jax.Array:
     if any(lo or hi for lo, hi in pads):
@@ -304,8 +307,27 @@ def _zrow_device(
         h_segs=h_segs, w_segs=w_segs, fold_dtype=fold_dtype, h_group=h_group,
         zpack=zpack, w_fold=w_fold,
     )
-    _, slabs = jax.lax.scan(d_body, None, d_starts)  # (nd, rd/zp, 4, Hp/2, LW)
-    acc = _fold(slabs, d_segs, axis=0)  # (Dp/zp, 4, Hp/2, (Wp/2)*zp*K16)
+    # D-fold as a running accumulator in the scan carry (the sharded walk's
+    # pattern): slabs add at their (major-dim) d-offsets as they are
+    # produced, so the (nd, slab) stack never materializes — at the
+    # headline grid that stack (~2.4 GB) plus the packed deinterleave's
+    # transpose intermediate pushed the route over HBM (round-5 OOM).
+    # The adds are 3-4 contiguous major-dim DUS per volume, not a scatter.
+    dpz = volume.shape[0] // zpack
+
+    def step(acc, d0):
+        slab = d_body(None, d0)[1]  # (rd/zp, 4, Hp/2, LW)
+        s = d0 // zpack
+        cur = jax.lax.dynamic_slice(acc, (s, 0, 0, 0), slab.shape)
+        return (
+            jax.lax.dynamic_update_slice(acc, cur + slab, (s, 0, 0, 0)),
+            None,
+        )
+
+    hp2 = volume.shape[1] // 2
+    lw = (volume.shape[2] // 2) * zpack * _flatk_pad(n_classes)
+    acc0 = jnp.zeros((dpz, 4, hp2, lw), fold_dtype)
+    acc, _ = jax.lax.scan(step, acc0, d_starts)
     return _deinterleave_crop(acc, pads, out_shape, n_classes, zpack=zpack)
 
 
@@ -369,7 +391,7 @@ def sliding_window_inference_zrow_sharded(
 
     d_starts, h_starts, w_starts = per_dim_window_starts(padded, roi, spec.overlap)
     zp = _grid_zpack(apply_fn, rd, n_classes, d_starts, dp)
-    wf = zp > 1 and _apply_fn_w_fold(apply_fn)
+    wf = zp > 1 and _wfold_on() and _apply_fn_w_fold(apply_fn)
     lk = zp * k16
     h_segs = _fold_plan([int(s) // 2 for s in h_starts], rh // 2, hp // 2)
     w_segs = _fold_plan(
@@ -520,13 +542,12 @@ def sliding_window_inference_zrow(
 
     d_starts, h_starts, w_starts = per_dim_window_starts(padded, roi, spec.overlap)
     zp = _grid_zpack(apply_fn, rd, n_classes, d_starts, dp)
-    wf = zp > 1 and _apply_fn_w_fold(apply_fn)
+    wf = zp > 1 and _wfold_on() and _apply_fn_w_fold(apply_fn)
     lk = zp * k16  # lane elements per half-voxel column
     h_segs = _fold_plan([int(s) // 2 for s in h_starts], rh // 2, hp // 2)
     w_segs = _fold_plan(
         [(int(s) // 2) * lk for s in w_starts], (rw // 2) * lk, (wp_full // 2) * lk
     )
-    d_segs = _fold_plan([int(s) // zp for s in d_starts], rd // zp, dp // zp)
 
     if h_group is None:
         h_group = _pick_h_group(len(h_starts), len(w_starts))
@@ -550,7 +571,6 @@ def sliding_window_inference_zrow(
         w_starts=tuple(int(s) for s in w_starts),
         h_segs=h_segs,
         w_segs=w_segs,
-        d_segs=d_segs,
         acc_dtype=acc_dtype,
         h_group=h_group,
         zpack=zp,
